@@ -1,0 +1,134 @@
+"""Frozen configuration dataclasses (replaces config-as-code in the reference).
+
+The reference has no config layer: ``GridProperties`` (gridclasses.hpp:6-14)
+is populated by hardcoded generator functions (testing_functions.cpp:351-395,
+FractionalStepSim.cpp:50-79).  Here every preset is an immutable dataclass so
+configs hash/compare cleanly and can key jit caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+def poly_terms(poly_deg: int) -> int:
+    """Number of 2D monomials up to total degree ``poly_deg``.
+
+    Reference: ``(polyDeg + 1) * (polyDeg + 2) / 2`` (grid.cpp:266).
+    """
+    return (poly_deg + 1) * (poly_deg + 2) // 2
+
+
+def stencil_size(poly_deg: int) -> int:
+    """Stencil size rule k = floor(2.5 * polyTerms) (grid.cpp:267)."""
+    return int(2.5 * poly_terms(poly_deg))
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Per-level grid/operator configuration.
+
+    Mirrors the reference ``GridProperties`` (gridclasses.hpp:6-14) with the
+    reference defaults: rbf_exp=3 (PHS r^3), omega=1.4, iters=5 sweeps per
+    smoother call (testing_functions.cpp:372-380).
+    """
+
+    poly_deg: int = 3
+    rbf_exp: int = 3
+    omega: float = 1.4
+    iters: int = 5
+
+    @property
+    def stencil_size(self) -> int:
+        return stencil_size(self.poly_deg)
+
+    @property
+    def poly_terms(self) -> int:
+        return poly_terms(self.poly_deg)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultigridConfig:
+    """Multigrid hierarchy configuration.
+
+    The reference hierarchy is a list of independently generated point clouds
+    sorted by size ascending (multigrid.cpp:116-122); fine level uses
+    ``poly_deg`` in 4..6, coarse levels use 3 (testing_functions.cpp:375).
+    ``coarsest_extra_sweeps``: the coarsest grid is smoothed twice per cycle
+    (multigrid.cpp:94-95).
+    """
+
+    num_levels: int = 3
+    fine_poly_deg: int = 6
+    coarse_poly_deg: int = 3
+    smoother: str = "jacobi"  # "jacobi" | "block_sor" | "colored_sor"
+    omega: float = 1.4
+    iters: int = 5
+    rbf_exp: int = 3
+    # Transfer-operator polynomial degree rule: the Poisson engine uses the
+    # FINEST grid's poly_deg for all interpolation matrices (multigrid.cpp:22)
+    # while the frac-step engine uses each base grid's own poly_deg
+    # (FracStepMultigrid.cpp:23).  "finest" | "base".
+    transfer_poly: str = "finest"
+    dtype: str = "float64"
+
+    def level_config(self, level: int) -> GridConfig:
+        """Level 0 = coarsest; num_levels-1 = finest (reference ordering)."""
+        deg = self.fine_poly_deg if level == self.num_levels - 1 else self.coarse_poly_deg
+        return GridConfig(
+            poly_deg=deg, rbf_exp=self.rbf_exp, omega=self.omega, iters=self.iters
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FracStepConfig:
+    """Fractional-step Navier-Stokes configuration.
+
+    Reference defaults from gen_fracstep_param / run_frac_step_test
+    (FractionalStepSim.cpp:50-79, 201-204): dt=2e-4, mu=0.025, rho=1
+    (Re=40), PPE tolerance 1e-10, <=2000 timesteps, Kovasznay flow.
+    """
+
+    dt: float = 2e-4
+    mu: float = 0.025
+    rho: float = 1.0
+    ppe_tol: float = 1e-10
+    max_steps: int = 2000
+    flow_type: str = "kovasznay"
+
+    @property
+    def reynolds(self) -> float:
+        return self.rho / self.mu
+
+
+# ---------------------------------------------------------------------------
+# Named presets replicating the reference's hardcoded experiment generators.
+# ---------------------------------------------------------------------------
+
+REFERENCE_MG_SIZES: dict[str, Sequence[int]] = {
+    # Point counts of the gitignored .msh fixtures named in the reference
+    # (testing_functions.cpp:355-364).  Our geometry module generates
+    # equivalent clouds at these sizes.
+    "square": (170, 600, 2500, 10000),
+    "square_with_circle": (176, 640, 2532, 10197, 37943, 150214),
+    "concentric_circles": (188, 650, 2581, 10207),
+}
+
+
+def reference_mg_config(num_levels: int, poly_deg: int) -> MultigridConfig:
+    """gen_mg_param equivalent (testing_functions.cpp:351-395)."""
+    return MultigridConfig(
+        num_levels=num_levels,
+        fine_poly_deg=poly_deg,
+        coarse_poly_deg=3,
+        omega=1.4,
+        iters=5,
+        rbf_exp=3,
+        transfer_poly="finest",
+    )
+
+
+def reference_fracstep_config() -> FracStepConfig:
+    """gen_fracstep_param(4, 6, 2e-4, .025, 1, 1e-10) equivalent."""
+    return FracStepConfig()

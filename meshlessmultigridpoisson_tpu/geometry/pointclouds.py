@@ -1,0 +1,274 @@
+"""Scattered point-cloud generators for the reference geometries.
+
+The reference loads gitignored Gmsh meshes (square_{170,...}.msh etc.,
+testing_functions.cpp:355-364) and detects boundaries by exact coordinate
+tests (x==0 | x==1 | y==0 | y==1, testing_functions.cpp:86; circles by
+|r^2 - R^2| <= 1e-10, testing_functions.cpp:101,124).  Since the fixtures are
+not in the repo, we generate equivalent scattered clouds directly: exact
+boundary points plus jittered-lattice interior points (deterministic, seeded).
+
+Clouds carry: coords [N,2] (or [N,3] for the 3D extension), per-boundary
+index lists, outward unit normals at boundary points (analytic per geometry,
+matching Grid::build_normal_vecs, grid.cpp:442-518).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PointCloud:
+    """A scattered cloud with boundary structure (host-side, numpy).
+
+    ``boundaries`` is a list of index arrays (one per boundary component,
+    mirroring the reference's vector<Boundary>, gridclasses.hpp:15-20).
+    ``normals`` is dense [N, dim]; zero rows at interior points.
+    """
+
+    points: np.ndarray  # [N, dim] float64
+    boundaries: list[np.ndarray]  # each [nb] int32
+    normals: np.ndarray  # [N, dim] float64
+    geomtype: str = "custom"
+
+    @property
+    def n(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def boundary_mask(self) -> np.ndarray:
+        m = np.zeros(self.n, dtype=bool)
+        for b in self.boundaries:
+            m[b] = True
+        return m
+
+    def permuted(self, perm: np.ndarray) -> "PointCloud":
+        """Reorder points by ``perm`` (new[i] = old[perm[i]]).
+
+        Mirrors Grid::rcm_order_points's remapping of points, normals and
+        boundary index lists (grid.cpp:744-774).
+        """
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(self.n)
+        return PointCloud(
+            points=self.points[perm],
+            boundaries=[np.sort(inv[b]).astype(np.int32) for b in self.boundaries],
+            normals=self.normals[perm],
+            geomtype=self.geomtype,
+        )
+
+
+def _jittered_interior(nx: int, ny: int, jitter: float, seed: int) -> np.ndarray:
+    """Interior lattice points with deterministic jitter (quasi-scattered)."""
+    rng = np.random.default_rng(seed)
+    xs = (np.arange(1, nx + 1)) / (nx + 1)
+    ys = (np.arange(1, ny + 1)) / (ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    h = 1.0 / (nx + 1)
+    pts += rng.uniform(-jitter * h, jitter * h, size=pts.shape)
+    return pts
+
+
+def square_cloud(n_target: int, jitter: float = 0.35, seed: int = 0) -> PointCloud:
+    """Unit square [0,1]^2; single boundary component on the four edges.
+
+    Outward-facing reference quirk preserved: the stored boundary "normals"
+    point INWARD (+y at y==0 etc.), exactly as Grid::build_normal_vecs writes
+    them for the square (grid.cpp:449-460); all downstream Neumann algebra in
+    the reference is built against these inward normals.
+    """
+    # Choose lattice so that total points ~ n_target: interior nx*ny + 4*(nb)
+    nx = max(2, int(round(np.sqrt(n_target) - 1)))
+    nb = nx + 1  # boundary points per edge (excluding one corner each -> 4*nb total)
+    interior = _jittered_interior(nx, nx, jitter, seed)
+
+    t = np.arange(nb) / nb  # [0, 1) then shifted per edge to cover corners once
+    bottom = np.stack([t, np.zeros(nb)], axis=1)
+    right = np.stack([np.ones(nb), t], axis=1)
+    top = np.stack([1.0 - t, np.ones(nb)], axis=1)
+    left = np.stack([np.zeros(nb), 1.0 - t], axis=1)
+    bpts = np.concatenate([bottom, right, top, left], axis=0)
+
+    pts = np.concatenate([interior, bpts], axis=0)
+    n = pts.shape[0]
+    bidx = np.arange(interior.shape[0], n, dtype=np.int32)
+
+    normals = np.zeros((n, 2))
+    x, y = pts[bidx, 0], pts[bidx, 1]
+    # Reference order of tests: y==0 -> (0,1); y==1 -> (0,-1); x==0 -> (1,0);
+    # x==1 -> (-1,0) (grid.cpp:449-460).
+    nvec = np.zeros((bidx.size, 2))
+    nvec[y == 0] = (0, 1)
+    nvec[y == 1] = (0, -1)
+    nvec[(x == 0) & (y != 0) & (y != 1)] = (1, 0)
+    nvec[(x == 1) & (y != 0) & (y != 1)] = (-1, 0)
+    normals[bidx] = nvec
+    return PointCloud(pts, [bidx], normals, geomtype="square")
+
+
+def _circle_points(nb: int, cx: float, cy: float, r: float, phase: float = 0.0) -> np.ndarray:
+    th = 2 * np.pi * (np.arange(nb) / nb) + phase
+    return np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
+
+
+def square_with_circle_cloud(
+    n_target: int, jitter: float = 0.35, seed: int = 0
+) -> PointCloud:
+    """Unit square with a circular hole (center (.5,.5), radius .25).
+
+    Matches the reference "square_with_circle" geometry: outer boundary on the
+    square edges, inner boundary on the circle of radius 0.25
+    (testing_functions.cpp:92-106; hole radius^2 = 0.0625).  Circle normals
+    point away from the circle center (grid.cpp:480-492).
+    """
+    base = square_cloud(int(n_target * 1.1), jitter=jitter, seed=seed)
+    r_hole = 0.25
+    keep = ((base.points[:, 0] - 0.5) ** 2 + (base.points[:, 1] - 0.5) ** 2) > (
+        r_hole + 0.25 / np.sqrt(n_target)
+    ) ** 2
+    pts = base.points[keep]
+    outer_mask = np.zeros(base.n, dtype=bool)
+    outer_mask[base.boundaries[0]] = True
+    outer_mask = outer_mask[keep]
+
+    h = 1.0 / np.sqrt(n_target)
+    nb_inner = max(16, int(round(2 * np.pi * r_hole / h)))
+    inner = _circle_points(nb_inner, 0.5, 0.5, r_hole)
+
+    all_pts = np.concatenate([pts, inner], axis=0)
+    n = all_pts.shape[0]
+    outer_idx = np.nonzero(np.concatenate([outer_mask, np.zeros(nb_inner, bool)]))[0]
+    inner_idx = np.arange(pts.shape[0], n, dtype=np.int32)
+
+    normals = np.zeros((n, 2))
+    x, y = all_pts[outer_idx, 0], all_pts[outer_idx, 1]
+    nvec = np.zeros((outer_idx.size, 2))
+    nvec[y == 0] = (0, 1)
+    nvec[y == 1] = (0, -1)
+    nvec[(x == 0) & (y != 0) & (y != 1)] = (1, 0)
+    nvec[(x == 1) & (y != 0) & (y != 1)] = (-1, 0)
+    normals[outer_idx] = nvec
+    d = all_pts[inner_idx] - 0.5
+    normals[inner_idx] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    return PointCloud(
+        all_pts,
+        [outer_idx.astype(np.int32), inner_idx],
+        normals,
+        geomtype="square_with_circle",
+    )
+
+
+def concentric_circles_cloud(
+    n_target: int, jitter: float = 0.3, seed: int = 0
+) -> PointCloud:
+    """Annulus between r=0.25 and r=0.5 centered at (.5,.5).
+
+    Reference geometry "concentric_circles" (testing_functions.cpp:107-135).
+    Boundary 0 = outer circle (r=0.5) with normals pointing INWARD toward the
+    center (reference stores -(x,y)/|..| for boundary 0, grid.cpp:493-504);
+    boundary 1 = inner circle (r=0.25) with normals pointing outward from
+    center (grid.cpp:505-515).
+    """
+    rng = np.random.default_rng(seed)
+    r_in, r_out = 0.25, 0.5
+    area = np.pi * (r_out**2 - r_in**2)
+    h = np.sqrt(area / n_target)
+
+    # radial rings of jittered points
+    n_rings = max(3, int(round((r_out - r_in) / h)) - 1)
+    pts = []
+    for i in range(1, n_rings + 1):
+        r = r_in + (r_out - r_in) * i / (n_rings + 1)
+        nb = max(8, int(round(2 * np.pi * r / h)))
+        ring = _circle_points(nb, 0.5, 0.5, r, phase=rng.uniform(0, 2 * np.pi))
+        ring += rng.uniform(-0.3 * h, 0.3 * h, size=ring.shape)
+        pts.append(ring)
+    interior = np.concatenate(pts, axis=0)
+
+    nb_out = max(16, int(round(2 * np.pi * r_out / h)))
+    nb_in = max(16, int(round(2 * np.pi * r_in / h)))
+    outer = _circle_points(nb_out, 0.5, 0.5, r_out)
+    inner = _circle_points(nb_in, 0.5, 0.5, r_in)
+
+    all_pts = np.concatenate([interior, outer, inner], axis=0)
+    n = all_pts.shape[0]
+    outer_idx = np.arange(interior.shape[0], interior.shape[0] + nb_out, dtype=np.int32)
+    inner_idx = np.arange(interior.shape[0] + nb_out, n, dtype=np.int32)
+
+    normals = np.zeros((n, 2))
+    d_out = all_pts[outer_idx] - 0.5
+    normals[outer_idx] = -d_out / np.linalg.norm(d_out, axis=1, keepdims=True)
+    d_in = all_pts[inner_idx] - 0.5
+    normals[inner_idx] = d_in / np.linalg.norm(d_in, axis=1, keepdims=True)
+    return PointCloud(
+        all_pts, [outer_idx, inner_idx], normals, geomtype="concentric_circles"
+    )
+
+
+def box3d_cloud(n_target: int, jitter: float = 0.3, seed: int = 0) -> PointCloud:
+    """Unit cube [0,1]^3 cloud — the designed 3D extension.
+
+    The reference is strictly 2D (``distance`` drops z,
+    general_computation_functions.cpp:4-6); this generator supports the
+    3D/BASELINE config-3 path.
+    """
+    rng = np.random.default_rng(seed)
+    nx = max(2, int(round(n_target ** (1.0 / 3.0) - 1)))
+    xs = (np.arange(1, nx + 1)) / (nx + 1)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    h = 1.0 / (nx + 1)
+    pts += rng.uniform(-jitter * h, jitter * h, size=pts.shape)
+
+    nb = nx + 2
+    face = (np.arange(nb)) / (nb - 1)
+    F1, F2 = np.meshgrid(face, face, indexing="ij")
+    f = np.stack([F1.ravel(), F2.ravel()], axis=1)
+    zeros = np.zeros((f.shape[0], 1))
+    ones = np.ones((f.shape[0], 1))
+    faces = [
+        np.concatenate([f, zeros], axis=1),
+        np.concatenate([f, ones], axis=1),
+        np.concatenate([f[:, :1], zeros, f[:, 1:]], axis=1),
+        np.concatenate([f[:, :1], ones, f[:, 1:]], axis=1),
+        np.concatenate([zeros, f], axis=1),
+        np.concatenate([ones, f], axis=1),
+    ]
+    bpts = np.unique(np.concatenate(faces, axis=0), axis=0)
+    all_pts = np.concatenate([pts, bpts], axis=0)
+    n = all_pts.shape[0]
+    bidx = np.arange(pts.shape[0], n, dtype=np.int32)
+    normals = np.zeros((n, 3))
+    for axis in range(3):
+        at0 = all_pts[bidx, axis] == 0
+        at1 = all_pts[bidx, axis] == 1
+        normals[bidx[at0], axis] = 1.0
+        normals[bidx[at1], axis] = -1.0
+    nrm = np.linalg.norm(normals[bidx], axis=1, keepdims=True)
+    normals[bidx] /= np.maximum(nrm, 1e-300)
+    return PointCloud(all_pts, [bidx], normals, geomtype="box3d")
+
+
+_GENERATORS = {
+    "square": square_cloud,
+    "square_with_circle": square_with_circle_cloud,
+    "concentric_circles": concentric_circles_cloud,
+    "box3d": box3d_cloud,
+}
+
+
+def make_cloud(geomtype: str, n_target: int, seed: int = 0) -> PointCloud:
+    try:
+        gen = _GENERATORS[geomtype]
+    except KeyError:
+        raise ValueError(
+            f"unknown geomtype {geomtype!r}; options: {sorted(_GENERATORS)}"
+        ) from None
+    return gen(n_target, seed=seed)

@@ -1,0 +1,105 @@
+"""Hierarchy construction: ordering, per-level operators, transfer operators.
+
+Replaces the per-grid setup pipeline (genGmshGrid*: setBCFlag ->
+build_normal_vecs -> rcm_order_points -> build_deriv_normal_bound ->
+build_laplacian -> modify_coeff_neumann -> push_inhomog_to_rhs,
+testing_functions.cpp:267-283) plus Multigrid::buildMatrices
+(multigrid.cpp:49-60).  Levels are ordered coarse -> fine by point count
+(the reference sorts ascending, multigrid.cpp:116-122).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from meshlessmultigridpoisson_tpu.config import MultigridConfig
+from meshlessmultigridpoisson_tpu.geometry.neighbors import knn
+from meshlessmultigridpoisson_tpu.geometry.ordering import rcm_ordering
+from meshlessmultigridpoisson_tpu.geometry.pointclouds import PointCloud
+from meshlessmultigridpoisson_tpu.mg.vcycle import Hierarchy
+from meshlessmultigridpoisson_tpu.stencil.operators import (
+    bc_flags_from_cloud,
+    build_level_operator,
+    build_interp_operator,
+)
+
+# bc_values_fn(points [N,d], normals [N,d], component) -> values [m] at the
+# component's boundary points
+BCValueFn = Callable[[np.ndarray, np.ndarray, int], np.ndarray]
+
+
+def order_cloud(cloud: PointCloud, stencil_k: int, neumann: bool) -> PointCloud:
+    """RCM-order a cloud by its stencil graph (Grid::rcm_order_points)."""
+    nb = knn(
+        cloud.points, stencil_k, boundary_mask=cloud.boundary_mask, neumann=neumann
+    )
+    perm = rcm_ordering(nb)
+    return cloud.permuted(perm)
+
+
+def dense_bc_values(cloud: PointCloud, fn: BCValueFn) -> np.ndarray:
+    out = np.zeros(cloud.n)
+    for comp, bidx in enumerate(cloud.boundaries):
+        out[bidx] = fn(cloud.points[bidx], cloud.normals[bidx], comp)
+    return out
+
+
+def build_hierarchy(
+    clouds: Sequence[PointCloud],
+    bc_types: Sequence[str],
+    bc_values_fn: BCValueFn,
+    config: MultigridConfig,
+    block_rows: int = 256,
+) -> tuple[Hierarchy, list[PointCloud]]:
+    """Build operators + transfers for clouds ordered coarse -> fine.
+
+    Returns (hierarchy, ordered_clouds) — callers evaluate sources / exact
+    solutions on the ordered clouds.
+    """
+    if sorted(c.n for c in clouds) != [c.n for c in clouds]:
+        clouds = sorted(clouds, key=lambda c: c.n)  # multigrid.cpp:120-122
+    L = len(clouds)
+    neumann = any(t == "neumann" for t in bc_types)
+
+    ordered: list[PointCloud] = []
+    levels = []
+    for lvl, cloud in enumerate(clouds):
+        cfg = config.level_config(lvl)
+        oc = order_cloud(cloud, cfg.stencil_size, neumann)
+        ordered.append(oc)
+        flags = bc_flags_from_cloud(oc, list(bc_types))
+        vals = dense_bc_values(oc, bc_values_fn)
+        levels.append(
+            build_level_operator(oc, flags, vals, cfg, block_rows=block_rows)
+        )
+
+    restrict, prolong = [], []
+    for i in range(L - 1):
+        fine_pts, coarse_pts = ordered[i + 1].points, ordered[i].points
+        fine_op, coarse_op = levels[i + 1], levels[i]
+        if config.transfer_poly == "finest":
+            deg_r = deg_p = config.level_config(L - 1).poly_deg  # multigrid.cpp:22
+        else:  # "base": each interp uses its base grid's degree
+            deg_r = config.level_config(i + 1).poly_deg  # FracStepMultigrid.cpp:23
+            deg_p = config.level_config(i).poly_deg
+        restrict.append(
+            build_interp_operator(
+                fine_pts, coarse_pts, deg_r, config.rbf_exp, block_rows,
+                row_map_target=coarse_op.row_map, row_map_base=fine_op.row_map,
+                n_pad_target=coarse_op.n_pad, n_pad_base=fine_op.n_pad,
+            )
+        )
+        prolong.append(
+            build_interp_operator(
+                coarse_pts, fine_pts, deg_p, config.rbf_exp, block_rows,
+                row_map_target=fine_op.row_map, row_map_base=coarse_op.row_map,
+                n_pad_target=fine_op.n_pad, n_pad_base=coarse_op.n_pad,
+            )
+        )
+
+    hier = Hierarchy(
+        levels=tuple(levels), restrict=tuple(restrict), prolong=tuple(prolong)
+    )
+    return hier, ordered

@@ -1,0 +1,169 @@
+"""Relaxation sweeps and residuals over LevelOperator (XLA reference path).
+
+Semantics mirror Grid::sor / bound_eval_neumann / residual
+(grid.cpp:73-151) with one deliberate deviation (SURVEY.md "hard parts" #1):
+the reference's in-place lexicographic SOR is inherently sequential, so the
+parallel smoother is weighted relaxation in Jacobi form over the interior
+mask, with the Lagrange row relaxed after the point rows (it is the last row
+of the reference sweep) and the Neumann boundary rows re-solved exactly
+after every sweep (grid.cpp:144).  Converged solutions match the reference;
+per-sweep histories differ by a bounded factor.  A sequential block-SOR
+Pallas kernel (ops/kernels.py) recovers GS-like smoothing strength on TPU.
+
+The Lagrange rank-1 border (grid.cpp:566-576) appears as:
+  row i (non-Neumann):  ... + x_lag
+  row N (border):       sum_{j non-Neumann} x_j + x_lag = b_lag
+applied via lag_col/lag_row dot products — psum-friendly when sharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meshlessmultigridpoisson_tpu.ops.ell import spmv
+from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
+
+
+def matvec(op: LevelOperator, x: jnp.ndarray, x_lag) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full bordered matvec: (A x + lag_col*x_lag, lag_row.x + x_lag)."""
+    y = spmv(op.A, x)
+    if op.has_lagrange:
+        y = y + op.lag_col * x_lag
+        y_lag = jnp.vdot(op.lag_row, x) + x_lag
+    else:
+        y_lag = jnp.zeros((), x.dtype)
+    return y, y_lag
+
+
+def bound_eval_neumann(op: LevelOperator, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exactly solve each Neumann boundary row for its own unknown.
+
+    x_b = (b_b - sum_{j != b} A_bj x_j) / A_bb  (grid.cpp:73-103).  Boundary
+    stencils exclude other boundary points (grid.cpp:236-244), so all rows
+    update independently in parallel.
+    """
+    if op.bound.nrows == 0:
+        return x
+    c = op.bound
+    y = spmv(c.ell, x)  # includes the diagonal term
+    xr = jnp.take(x, jnp.minimum(c.rows, op.n_pad - 1))
+    br = jnp.take(b, jnp.minimum(c.rows, op.n_pad - 1))
+    xb = (br - (y - c.ell.diag * xr)) / c.ell.diag
+    return x.at[c.rows].set(xb, mode="drop")
+
+
+def _gs_sweep(op: LevelOperator, x: jnp.ndarray, x_lag, b: jnp.ndarray):
+    """One exact SOR sweep in (block, class) order — the XLA reference path.
+
+    Rows were permuted at setup (geometry/coloring.py) so that each
+    [class_size]-row tile is an in-block independent set; scanning tiles in
+    order with fresh x is exact Gauss-Seidel under that ordering.  The TPU
+    Pallas kernel (ops/kernels.py) implements identical semantics.
+    """
+    S = op.class_size
+    n_pad = op.n_pad
+    ntiles = n_pad // S
+    width = op.A.width
+    vals_t = op.A.vals.reshape(ntiles, S, width)
+    # global cols per tile (win_start folded in)
+    starts = jnp.repeat(op.A.win_start, op.A.block_rows // S)
+    gcols_t = op.A.lcols.reshape(ntiles, S, width) + starts[:, None, None]
+    diag_t = op.A.diag.reshape(ntiles, S)
+    b_t = b.reshape(ntiles, S)
+    m_t = op.smooth_mask.reshape(ntiles, S)
+    w_t = (op.omega * op.omega_scale).reshape(ntiles, S)
+    lagc_t = op.lag_col.reshape(ntiles, S)
+
+    def step(x, args):
+        vals, gcols, d, bb, m, w, lagc, t = args
+        xt = jax.lax.dynamic_slice(x, (t * S,), (S,))
+        y = jnp.sum(vals * jnp.take(x, gcols, axis=0), axis=1) + lagc * x_lag
+        xi = (1.0 - w) * xt + (w / d) * (bb - (y - d * xt))
+        xt_new = jnp.where(m > 0, xi, xt)
+        x = jax.lax.dynamic_update_slice(x, xt_new, (t * S,))
+        return x, None
+
+    tids = jnp.arange(ntiles, dtype=jnp.int32)
+    x, _ = jax.lax.scan(
+        step, x, (vals_t, gcols_t, diag_t, b_t, m_t, w_t, lagc_t, tids)
+    )
+    return x
+
+
+def smooth(
+    op: LevelOperator,
+    x: jnp.ndarray,
+    x_lag,
+    b: jnp.ndarray,
+    b_lag,
+    iters: int | None = None,
+):
+    """``iters`` SOR sweeps (reference sor(), grid.cpp:104-146).
+
+    Each sweep: exact (block, class)-ordered SOR over the interior mask ->
+    Lagrange-row relax (the border is the last row of the reference sweep)
+    -> Neumann boundary row solve (grid.cpp:144).
+    """
+    iters = op.iters if iters is None else iters
+    w = op.omega
+    for _ in range(iters):
+        x = _gs_sweep(op, x, x_lag, b)
+        if op.has_lagrange:
+            # border row: A_NN = 1 (grid.cpp:573)
+            x_lag = (1.0 - w) * x_lag + w * (b_lag - jnp.vdot(op.lag_row, x))
+        x = bound_eval_neumann(op, x, b)
+    return x, x_lag
+
+
+def residual(op: LevelOperator, x, x_lag, b, b_lag):
+    """r = b - A_full x, zeroed at Dirichlet rows (grid.cpp:147-151,197-205).
+
+    Returns (r [n_pad], r_lag scalar).
+    """
+    y, y_lag = matvec(op, x, x_lag)
+    r = b - y
+    r = jnp.where(op.dirichlet_mask > 0, 0.0, r)
+    r_lag = (b_lag - y_lag) if op.has_lagrange else jnp.zeros((), x.dtype)
+    return r, r_lag
+
+
+def relative_residual_l1(op: LevelOperator, x, x_lag, b, b_lag):
+    """||r||_1 / ||b||_1 over the full bordered system (multigrid.cpp:112-115)."""
+    r, r_lag = residual(op, x, x_lag, b, b_lag)
+    num = jnp.sum(jnp.abs(r)) + jnp.abs(r_lag)
+    den = jnp.sum(jnp.abs(b)) + jnp.abs(b_lag)
+    return num / den
+
+
+def push_inhomog_to_rhs(op: LevelOperator, b: jnp.ndarray) -> jnp.ndarray:
+    """b_i -= sum_j C_ij b_j for interior rows (grid.cpp:664-685).
+
+    C = S D^{-1} acts on the CURRENT b (whose Neumann slots hold the
+    boundary data g); single application like the reference's copy-based
+    loop.
+    """
+    if op.cond.nrows == 0:
+        return b
+    c = op.cond
+    delta = spmv(c.ell, b)
+    br = jnp.take(b, jnp.minimum(c.rows, op.n_pad - 1))
+    return b.at[c.rows].set(br - delta, mode="drop")
+
+
+def apply_dirichlet(op: LevelOperator, x: jnp.ndarray, coarse: bool) -> jnp.ndarray:
+    """boundaryOp: pin Dirichlet values to g (fine) or 0 (coarse) (grid.cpp:42-51)."""
+    val = jnp.zeros_like(x) if coarse else op.dirichlet_values
+    return jnp.where(op.dirichlet_mask > 0, val, x)
+
+
+def set_neumann_source(op: LevelOperator, b: jnp.ndarray, coarse: bool):
+    """modify_coeff_neumann: b at Neumann rows := g (fine) or 0 (coarse);
+    border slot zeroed by the caller (grid.cpp:62-72)."""
+    val = jnp.zeros_like(b) if coarse else op.neumann_values
+    return jnp.where(op.neumann_mask > 0, val, b)
+
+
+def zero_dirichlet(op: LevelOperator, v: jnp.ndarray) -> jnp.ndarray:
+    """fix_vector_bound_coarse (grid.cpp:197-205)."""
+    return jnp.where(op.dirichlet_mask > 0, 0.0, v)
