@@ -76,26 +76,107 @@ def _jittered_interior(nx: int, ny: int, jitter: float, seed: int) -> np.ndarray
     return pts
 
 
+def poisson_disk(
+    n_target: int,
+    seed: int,
+    lo=(0.0, 0.0),
+    hi=(1.0, 1.0),
+    keep_fn=None,
+    boundary_pts: np.ndarray | None = None,
+    boundary_clearance: float = 0.9,
+) -> np.ndarray:
+    """Blue-noise interior sampling (Bridson) with min spacing ~ mesh quality.
+
+    Scattered-point solvers need gmsh-grade local uniformity: jittered
+    lattices allow ~0.3h pair gaps, which produce near-degenerate RBF-FD
+    stencils whose Neumann condensation collapses interior diagonals
+    (measured |offdiag|/|diag| ~ 140) and destabilizes relaxation.  Bridson
+    sampling enforces pairwise distance >= r everywhere, matching the
+    reference's mesh-generated clouds (testing_functions.cpp:355-364).
+    ``keep_fn(pts)->mask`` restricts the domain; ``boundary_pts`` get a
+    clearance of ``boundary_clearance * r``.
+    """
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    area = float(np.prod(hi - lo))
+    r = np.sqrt(0.72 * area / max(n_target, 1))
+    cell = r / np.sqrt(2)
+    dims = np.maximum(((hi - lo) / cell).astype(int) + 1, 1)
+    grid = -np.ones(dims, dtype=np.int64)
+    samples: list[np.ndarray] = []
+    active: list[int] = []
+
+    btree = None
+    if boundary_pts is not None and len(boundary_pts):
+        from scipy.spatial import cKDTree
+
+        btree = cKDTree(boundary_pts)
+
+    def ok(p):
+        if (p < lo).any() or (p >= hi).any():
+            return False
+        if keep_fn is not None and not keep_fn(p[None, :])[0]:
+            return False
+        if btree is not None and btree.query(p)[0] < boundary_clearance * r:
+            return False
+        c = ((p - lo) / cell).astype(int)
+        c0 = np.maximum(c - 2, 0)
+        c1 = np.minimum(c + 3, dims)
+        for i in range(c0[0], c1[0]):
+            for j in range(c0[1], c1[1]):
+                s = grid[i, j]
+                if s >= 0 and np.linalg.norm(samples[s] - p) < r:
+                    return False
+        return True
+
+    # initial point
+    for _ in range(100):
+        p = lo + rng.random(2) * (hi - lo)
+        if ok(p):
+            break
+    samples.append(p)
+    grid[tuple(((p - lo) / cell).astype(int))] = 0
+    active.append(0)
+
+    while active:
+        ai = rng.integers(len(active))
+        base = samples[active[ai]]
+        placed = False
+        for _ in range(20):
+            rad = r * (1 + rng.random())
+            th = 2 * np.pi * rng.random()
+            p = base + rad * np.array([np.cos(th), np.sin(th)])
+            if ok(p):
+                samples.append(p)
+                grid[tuple(((p - lo) / cell).astype(int))] = len(samples) - 1
+                active.append(len(samples) - 1)
+                placed = True
+        if not placed:
+            active.pop(ai)
+    return np.asarray(samples)
+
+
 def square_cloud(n_target: int, jitter: float = 0.35, seed: int = 0) -> PointCloud:
     """Unit square [0,1]^2; single boundary component on the four edges.
 
-    Outward-facing reference quirk preserved: the stored boundary "normals"
-    point INWARD (+y at y==0 etc.), exactly as Grid::build_normal_vecs writes
-    them for the square (grid.cpp:449-460); all downstream Neumann algebra in
-    the reference is built against these inward normals.
+    Interior: Poisson-disk (blue-noise) samples at mesh-grade spacing;
+    boundary: uniform edge points at matching density.  Outward-facing
+    reference quirk preserved: the stored boundary "normals" point INWARD
+    (+y at y==0 etc.), exactly as Grid::build_normal_vecs writes them for
+    the square (grid.cpp:449-460); all downstream Neumann algebra in the
+    reference is built against these inward normals.
     """
-    # Choose lattice so that total points ~ n_target: interior nx*ny + 4*(nb)
-    nx = max(2, int(round(np.sqrt(n_target) - 1)))
-    nb = nx + 1  # boundary points per edge (excluding one corner each -> 4*nb total)
-    interior = _jittered_interior(nx, nx, jitter, seed)
-
-    t = np.arange(nb) / nb  # [0, 1) then shifted per edge to cover corners once
+    r = np.sqrt(0.72 / max(n_target, 16))
+    nb = max(4, int(round(1.0 / r)))  # boundary points per edge
+    t = np.arange(nb) / nb  # [0, 1): covers each corner exactly once
     bottom = np.stack([t, np.zeros(nb)], axis=1)
     right = np.stack([np.ones(nb), t], axis=1)
     top = np.stack([1.0 - t, np.ones(nb)], axis=1)
     left = np.stack([np.zeros(nb), 1.0 - t], axis=1)
     bpts = np.concatenate([bottom, right, top, left], axis=0)
 
+    interior = poisson_disk(n_target, seed, boundary_pts=bpts)
     pts = np.concatenate([interior, bpts], axis=0)
     n = pts.shape[0]
     bidx = np.arange(interior.shape[0], n, dtype=np.int32)
@@ -128,23 +209,32 @@ def square_with_circle_cloud(
     (testing_functions.cpp:92-106; hole radius^2 = 0.0625).  Circle normals
     point away from the circle center (grid.cpp:480-492).
     """
-    base = square_cloud(int(n_target * 1.1), jitter=jitter, seed=seed)
     r_hole = 0.25
-    keep = ((base.points[:, 0] - 0.5) ** 2 + (base.points[:, 1] - 0.5) ** 2) > (
-        r_hole + 0.25 / np.sqrt(n_target)
-    ) ** 2
-    pts = base.points[keep]
-    outer_mask = np.zeros(base.n, dtype=bool)
-    outer_mask[base.boundaries[0]] = True
-    outer_mask = outer_mask[keep]
-
-    h = 1.0 / np.sqrt(n_target)
-    nb_inner = max(16, int(round(2 * np.pi * r_hole / h)))
+    area = 1.0 - np.pi * r_hole**2
+    r = np.sqrt(0.72 * area / max(n_target, 16))
+    nb = max(4, int(round(1.0 / r)))
+    t = np.arange(nb) / nb
+    bottom = np.stack([t, np.zeros(nb)], axis=1)
+    right = np.stack([np.ones(nb), t], axis=1)
+    top = np.stack([1.0 - t, np.ones(nb)], axis=1)
+    left = np.stack([np.zeros(nb), 1.0 - t], axis=1)
+    outer_b = np.concatenate([bottom, right, top, left], axis=0)
+    nb_inner = max(16, int(round(2 * np.pi * r_hole / r)))
     inner = _circle_points(nb_inner, 0.5, 0.5, r_hole)
 
+    def keep_fn(p):
+        return ((p[:, 0] - 0.5) ** 2 + (p[:, 1] - 0.5) ** 2) > r_hole**2
+
+    interior = poisson_disk(
+        int(n_target / area),  # box-area-based radius -> ~n_target kept points
+        seed,
+        keep_fn=keep_fn,
+        boundary_pts=np.concatenate([outer_b, inner], axis=0),
+    )
+    pts = np.concatenate([interior, outer_b], axis=0)
     all_pts = np.concatenate([pts, inner], axis=0)
     n = all_pts.shape[0]
-    outer_idx = np.nonzero(np.concatenate([outer_mask, np.zeros(nb_inner, bool)]))[0]
+    outer_idx = np.arange(interior.shape[0], pts.shape[0], dtype=np.int32)
     inner_idx = np.arange(pts.shape[0], n, dtype=np.int32)
 
     normals = np.zeros((n, 2))
@@ -176,26 +266,29 @@ def concentric_circles_cloud(
     boundary 1 = inner circle (r=0.25) with normals pointing outward from
     center (grid.cpp:505-515).
     """
-    rng = np.random.default_rng(seed)
     r_in, r_out = 0.25, 0.5
     area = np.pi * (r_out**2 - r_in**2)
-    h = np.sqrt(area / n_target)
-
-    # radial rings of jittered points
-    n_rings = max(3, int(round((r_out - r_in) / h)) - 1)
-    pts = []
-    for i in range(1, n_rings + 1):
-        r = r_in + (r_out - r_in) * i / (n_rings + 1)
-        nb = max(8, int(round(2 * np.pi * r / h)))
-        ring = _circle_points(nb, 0.5, 0.5, r, phase=rng.uniform(0, 2 * np.pi))
-        ring += rng.uniform(-0.3 * h, 0.3 * h, size=ring.shape)
-        pts.append(ring)
-    interior = np.concatenate(pts, axis=0)
+    h = np.sqrt(0.72 * area / max(n_target, 16))
 
     nb_out = max(16, int(round(2 * np.pi * r_out / h)))
     nb_in = max(16, int(round(2 * np.pi * r_in / h)))
     outer = _circle_points(nb_out, 0.5, 0.5, r_out)
     inner = _circle_points(nb_in, 0.5, 0.5, r_in)
+
+    def keep_fn(p):
+        rr = (p[:, 0] - 0.5) ** 2 + (p[:, 1] - 0.5) ** 2
+        return (rr > r_in**2) & (rr < r_out**2)
+
+    # poisson_disk derives its radius from the full box area; scale the
+    # target count so the annulus ends up with ~n_target points at spacing h
+    interior = poisson_disk(
+        int(n_target / area),
+        seed,
+        lo=(0.0, 0.0),
+        hi=(1.0, 1.0),
+        keep_fn=keep_fn,
+        boundary_pts=np.concatenate([outer, inner], axis=0),
+    )
 
     all_pts = np.concatenate([interior, outer, inner], axis=0)
     n = all_pts.shape[0]

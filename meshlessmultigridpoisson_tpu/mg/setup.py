@@ -52,12 +52,16 @@ def build_hierarchy(
     bc_values_fn: BCValueFn,
     config: MultigridConfig,
     block_rows: int = 256,
+    stabilize: bool = True,
 ) -> tuple[Hierarchy, list[PointCloud]]:
     """Build operators + transfers for clouds ordered coarse -> fine.
 
     Returns (hierarchy, ordered_clouds) — callers evaluate sources / exact
-    solutions on the ordered clouds.
+    solutions on the ordered clouds.  ``stabilize`` runs the setup-time
+    smoother-stability pass (mg/stabilize.py) per level.
     """
+    from meshlessmultigridpoisson_tpu.mg.stabilize import stabilize_level
+
     if sorted(c.n for c in clouds) != [c.n for c in clouds]:
         clouds = sorted(clouds, key=lambda c: c.n)  # multigrid.cpp:120-122
     L = len(clouds)
@@ -71,9 +75,10 @@ def build_hierarchy(
         ordered.append(oc)
         flags = bc_flags_from_cloud(oc, list(bc_types))
         vals = dense_bc_values(oc, bc_values_fn)
-        levels.append(
-            build_level_operator(oc, flags, vals, cfg, block_rows=block_rows)
-        )
+        op = build_level_operator(oc, flags, vals, cfg, block_rows=block_rows)
+        if stabilize:
+            op = stabilize_level(op)
+        levels.append(op)
 
     restrict, prolong = [], []
     for i in range(L - 1):

@@ -322,7 +322,7 @@ def build_level_operator(
 
 
 def _condense_neumann(
-    A: sp.csr_matrix, bc_flags: np.ndarray
+    A: sp.csr_matrix, bc_flags: np.ndarray, diag_guard: float = 0.25
 ) -> tuple[sp.csr_matrix, sp.csr_matrix]:
     """Implicit static condensation of Neumann unknowns (grid.cpp:598-662).
 
@@ -330,6 +330,14 @@ def _condense_neumann(
     interior-row boundary-column decoupling cancels exactly (the reference's
     explicit -A_ij triplet, grid.cpp:653); residual entries are hard-zeroed.
     Returns (A', C = S D^{-1}) for the runtime RHS pushdown.
+
+    Robustness beyond the reference: condensation can nearly cancel an
+    interior diagonal (measured |offdiag|/|diag| blowing up ~40x on rough
+    clouds), which destabilizes any relaxation smoother.  Rows whose
+    condensed diagonal shrinks below ``diag_guard`` * original revert to
+    their un-condensed form (explicit boundary coupling — exactly the
+    reference's implicitFlag_=false semantics for those rows) and are
+    dropped from the RHS-pushdown operator C.
     """
     n = A.shape[0]
     interior = bc_flags == 0
@@ -344,6 +352,28 @@ def _condense_neumann(
 
     A2 = (A - (S @ Bs)).tocsr()
     A2.sum_duplicates()
+
+    # partial-condensation guard: revert rows whose diagonal collapses OR
+    # whose row dominance ratio |offdiag|/|diag| degrades badly
+    def row_ratio(M):
+        d = M.diagonal()
+        offsum = np.abs(M).sum(axis=1).A1 - np.abs(d)
+        return offsum / np.maximum(np.abs(d), 1e-300)
+
+    r1, r2 = row_ratio(A), row_ratio(A2)
+    bad = interior & (
+        (np.abs(A2.diagonal()) < diag_guard * np.abs(D))
+        | (r2 > np.maximum(3.0 * r1, 10.0))
+    )
+    if bad.any():
+        keep = ~bad
+        A2 = A2.multiply(keep[:, None]).tocsr() + A.multiply(bad[:, None]).tocsr()
+        A2 = A2.tocsr()
+        A2.sum_duplicates()
+        C = C.multiply(keep[:, None]).tocsr()
+        C.eliminate_zeros()
+        interior = interior & keep  # only condensed rows get cols zeroed
+
     mask_bad = interior[np.repeat(np.arange(n), np.diff(A2.indptr))] & nmn[A2.indices]
     A2.data[mask_bad] = 0.0
     A2.eliminate_zeros()
