@@ -141,9 +141,23 @@ def solve_bicgstab(
         )
         p2 = r2 + beta * (p - omega * v)
         p2l = r2l + beta * (pl - omega * vl)
+        resid2 = l1(r2, r2l) / bnorm
+        # BiCGStab breakdown (common when starting from a near-converged
+        # guess: rho/omega underflow): keep the previous iterate and stop by
+        # reporting a negative residual sentinel clamped at the old value.
+        ok = (
+            jnp.isfinite(resid2)
+            & jnp.isfinite(rho2)
+            & jnp.isfinite(jnp.sum(jnp.abs(p2)))
+        )
+        sel = lambda a, b: jnp.where(ok, a, b)
         return dict(
-            x=x, xl=xl, r=r2, rl=r2l, p=p2, pl=p2l, rho=rho2,
-            it=c["it"] + 1, resid=l1(r2, r2l) / bnorm,
+            x=sel(x, c["x"]), xl=sel(xl, c["xl"]),
+            r=sel(r2, c["r"]), rl=sel(r2l, c["rl"]),
+            p=sel(p2, c["p"]), pl=sel(p2l, c["pl"]),
+            rho=sel(rho2, c["rho"]),
+            it=c["it"] + 1,
+            resid=jnp.where(ok, resid2, -1.0),
         )
 
     out = jax.lax.while_loop(cond, body, init)

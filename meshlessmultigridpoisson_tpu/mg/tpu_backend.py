@@ -1,0 +1,212 @@
+"""TPU execution backend: LevelOperator -> TpuLevel over the Pallas kernels.
+
+The generic V-cycle engine (mg/vcycle.py) is backend-agnostic: it calls the
+functions in ops/smoothers.py, which dispatch here when handed a TpuLevel.
+A TpuLevel repacks a (f64, CPU-built) LevelOperator into the f32
+class-interleaved kernel layout (ops/kernels.py) plus [nblocks, B/128, 128]
+row tensors.  Semantics are IDENTICAL to the XLA path — same (block, class)
+Gauss-Seidel, Lagrange border, Neumann row-solve, RHS pushdown — modulo f32
+arithmetic (Mosaic has no f64; tight tolerances come from mixed-precision
+outer iterations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meshlessmultigridpoisson_tpu.mg.vcycle import Hierarchy
+from meshlessmultigridpoisson_tpu.ops.kernels import (
+    KernelEll,
+    prepare_kernel_ell,
+    sor_sweep_tpu,
+    spmv_tpu,
+    LANES,
+)
+from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "kell",
+        "bound_kell",
+        "bound_rows",
+        "bound_diag",
+        "cond_kell",
+        "cond_rows",
+        "diag",
+        "dinv3",
+        "b3_shape_like",
+        "mask3",
+        "omega3",
+        "lagc3",
+        "lag_col",
+        "lag_row",
+        "smooth_mask",
+        "dirichlet_mask",
+        "neumann_mask",
+        "dirichlet_values",
+        "neumann_values",
+        "row_map",
+    ),
+    meta_fields=(
+        "has_lagrange", "implicit", "omega", "iters", "class_size", "n",
+        "bound_n", "cond_n",
+    ),
+)
+@dataclasses.dataclass(frozen=True)
+class TpuLevel:
+    """All per-level data in kernel-ready f32 layouts."""
+
+    kell: KernelEll
+    bound_kell: KernelEll  # Neumann rows, compact
+    bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
+    bound_diag: jnp.ndarray  # [mb_pad] f32
+    cond_kell: KernelEll
+    cond_rows: jnp.ndarray
+    diag: jnp.ndarray  # [n_pad] f32
+    dinv3: jnp.ndarray  # [nblocks, B/128, 128]
+    b3_shape_like: jnp.ndarray  # zeros [nblocks, B/128, 128] (shape donor)
+    mask3: jnp.ndarray
+    omega3: jnp.ndarray
+    lagc3: jnp.ndarray
+    lag_col: jnp.ndarray  # [n_pad]
+    lag_row: jnp.ndarray
+    smooth_mask: jnp.ndarray
+    dirichlet_mask: jnp.ndarray
+    neumann_mask: jnp.ndarray
+    dirichlet_values: jnp.ndarray
+    neumann_values: jnp.ndarray
+    row_map: jnp.ndarray
+    has_lagrange: bool
+    implicit: bool
+    omega: float
+    iters: int
+    class_size: int
+    n: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.kell.nrows_pad
+
+    # interface parity with LevelOperator for model code
+    def to_padded(self, v_logical: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.zeros(self.n_pad, v_logical.dtype)
+        return out.at[self.row_map].set(v_logical)
+
+    def to_logical(self, v_padded: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(v_padded, self.row_map)
+
+
+def _rows3(kell: KernelEll, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
+    b = kell.block_rows
+    return jnp.asarray(
+        np.asarray(v, dtype).reshape(kell.nblocks, b // LANES, LANES)
+    )
+
+
+def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
+    """Repack a CPU-built LevelOperator for TPU kernels (host-side)."""
+    kell = prepare_kernel_ell(op.A, class_size=op.class_size, dtype=dtype)
+    bk = prepare_kernel_ell(op.bound.ell, class_size=op.class_size, dtype=dtype)
+    ck = prepare_kernel_ell(op.cond.ell, class_size=op.class_size, dtype=dtype)
+    diag = np.asarray(op.A.diag)
+    f = lambda v: jnp.asarray(np.asarray(v), dtype)
+    return TpuLevel(
+        kell=kell,
+        bound_kell=bk,
+        bound_rows=jnp.asarray(np.asarray(op.bound.rows)),
+        bound_diag=f(op.bound.ell.diag),
+        cond_kell=ck,
+        cond_rows=jnp.asarray(np.asarray(op.cond.rows)),
+        diag=f(diag),
+        dinv3=_rows3(kell, 1.0 / diag),
+        b3_shape_like=_rows3(kell, np.zeros_like(diag)),
+        mask3=_rows3(kell, np.asarray(op.smooth_mask)),
+        omega3=_rows3(kell, op.omega * np.asarray(op.omega_scale)),
+        lagc3=_rows3(kell, np.asarray(op.lag_col)),
+        lag_col=f(op.lag_col),
+        lag_row=f(op.lag_row),
+        smooth_mask=f(op.smooth_mask),
+        dirichlet_mask=f(op.dirichlet_mask),
+        neumann_mask=f(op.neumann_mask),
+        dirichlet_values=f(op.dirichlet_values),
+        neumann_values=f(op.neumann_values),
+        row_map=jnp.asarray(np.asarray(op.row_map)),
+        has_lagrange=op.has_lagrange,
+        implicit=op.implicit,
+        omega=op.omega,
+        iters=op.iters,
+        class_size=op.class_size,
+        n=op.n,
+        bound_n=op.bound.nrows,
+        cond_n=op.cond.nrows,
+    )
+
+
+def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
+    """Convert a CPU hierarchy to the TPU backend (transfer ops included)."""
+    levels = tuple(tpu_level_from_operator(op, dtype) for op in hier.levels)
+    restrict = tuple(prepare_kernel_ell(r, dtype=dtype) for r in hier.restrict)
+    prolong = tuple(prepare_kernel_ell(p, dtype=dtype) for p in hier.prolong)
+    return Hierarchy(levels=levels, restrict=restrict, prolong=prolong)
+
+
+# ---------------------------------------------------------------------------
+# smoother-protocol implementations (called from ops/smoothers dispatchers)
+# ---------------------------------------------------------------------------
+
+
+def matvec(op: TpuLevel, x, x_lag):
+    y = spmv_tpu(op.kell, x)
+    if op.has_lagrange:
+        y = y + op.lag_col * x_lag
+        y_lag = jnp.vdot(op.lag_row, x) + x_lag
+    else:
+        y_lag = jnp.zeros((), x.dtype)
+    return y, y_lag
+
+
+def bound_eval_neumann(op: TpuLevel, x, b):
+    if op.bound_n == 0:
+        return x
+    y = spmv_tpu(op.bound_kell, x)[: op.bound_rows.shape[0]]
+    safe = jnp.minimum(op.bound_rows, op.n_pad - 1)
+    xr = jnp.take(x, safe)
+    br = jnp.take(b, safe)
+    xb = (br - (y - op.bound_diag * xr)) / op.bound_diag
+    return x.at[op.bound_rows].set(xb, mode="drop")
+
+
+def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
+    iters = op.iters if iters is None else iters
+    w = op.omega
+    kell = op.kell
+    b3 = b.reshape(op.dinv3.shape)
+    rows2d = kell.nrows_pad // LANES
+    x2 = jnp.zeros((kell.x_pad // LANES, LANES), x.dtype)
+    x2 = x2.at[:rows2d].set(x.reshape(rows2d, LANES))
+    for _ in range(iters):
+        x2 = sor_sweep_tpu(
+            kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
+        )
+        x = x2[:rows2d].reshape(-1)
+        if op.has_lagrange:
+            x_lag = (1.0 - w) * x_lag + w * (b_lag - jnp.vdot(op.lag_row, x))
+        x = bound_eval_neumann(op, x, b)
+        x2 = x2.at[:rows2d].set(x.reshape(rows2d, LANES))
+    return x, x_lag
+
+
+def push_inhomog_to_rhs(op: TpuLevel, b):
+    if op.cond_n == 0:
+        return b
+    delta = spmv_tpu(op.cond_kell, b)[: op.cond_rows.shape[0]]
+    safe = jnp.minimum(op.cond_rows, op.n_pad - 1)
+    br = jnp.take(b, safe)
+    return b.at[op.cond_rows].set(br - delta, mode="drop")

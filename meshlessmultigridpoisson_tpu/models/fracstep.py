@@ -1,0 +1,318 @@
+"""Fractional-step incompressible Navier-Stokes with Kovasznay validation.
+
+TPU-native redesign of FractionalStepGrid / FractionalStepSim
+(fractionalStepGrid.cpp, FractionalStepSim.cpp): the velocity state is a
+small pytree of padded vectors on the finest level; the predictor/corrector
+are a few windowed-ELL SpMVs + pointwise ops inside ONE jitted timestep; the
+pressure-Poisson solve reuses the generic multigrid engine with fixed
+sparsity across all timesteps.
+
+Reference semantics per timestep (run_fracstep_param, FractionalStepSim.cpp:
+130-156):
+  set_uv_bound -> u_hat = u + dt(-(u u_x + v u_y) + (mu/rho) lap u) (:101-124)
+  -> PPE source: interior rho/dt (dx u_hat + dy v_hat), boundary
+     n.(-rho/dt)(u - u_hat, v - v_hat) (:125-145), RHS pushdown (:137)
+  -> solve PPE to tol (while residual >= tol: vCycle, :139-142)
+  -> u = u_hat - dt/rho dx p ; v = v_hat - dt/rho dy p (:146-151)
+  -> set_uv_bound; fs_residual = ||u - u_hat||_1 / N (:152-154)
+
+Kovasznay exact solution (Re = rho/mu, lambda = Re/2 - sqrt(Re^2/4 + 4pi^2),
+fractionalStepGrid.cpp:26-59):
+  u = 1 - e^(lambda x) cos(2 pi y)
+  v = lambda/(2 pi) e^(lambda x) sin(2 pi y)
+  p = 0.5 e^(2 lambda x)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from meshlessmultigridpoisson_tpu.config import (
+    FracStepConfig,
+    MultigridConfig,
+    REFERENCE_MG_SIZES,
+)
+from meshlessmultigridpoisson_tpu.geometry.pointclouds import PointCloud, make_cloud
+from meshlessmultigridpoisson_tpu.mg.setup import build_hierarchy
+from meshlessmultigridpoisson_tpu.mg.vcycle import (
+    Hierarchy,
+    MGState,
+    init_state,
+    solve_to_tolerance,
+)
+from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
+from meshlessmultigridpoisson_tpu.ops.ell import EllMatrix, ell_from_csr, spmv
+from meshlessmultigridpoisson_tpu.ops import smoothers as sm
+from meshlessmultigridpoisson_tpu.stencil.operators import (
+    assemble_operator_csr,
+    bc_flags_from_cloud,
+)
+
+PI = np.pi
+
+
+def kovasznay_lambda(re: float) -> float:
+    return 0.5 * re - np.sqrt(0.25 * re * re + 4 * PI * PI)
+
+
+def kovasznay_uvp(points: np.ndarray, re: float):
+    lam = kovasznay_lambda(re)
+    x, y = points[:, 0], points[:, 1]
+    u = 1.0 - np.exp(lam * x) * np.cos(2 * PI * y)
+    v = lam / (2 * PI) * np.exp(lam * x) * np.sin(2 * PI * y)
+    p = 0.5 * np.exp(2 * lam * x)
+    return u, v, p
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("u", "v", "u_old", "v_old", "u_hat", "v_hat", "mg"),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class FracStepState:
+    """Velocity fields (padded fine-level vectors) + pressure MG state."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    u_old: jnp.ndarray
+    v_old: jnp.ndarray
+    u_hat: jnp.ndarray
+    v_hat: jnp.ndarray
+    mg: MGState  # pressure lives in mg.x[-1]
+
+
+@dataclasses.dataclass
+class FracStepProblem:
+    hierarchy: Hierarchy
+    clouds: list[PointCloud]
+    dx: EllMatrix  # fine-level d/dx, permuted row space
+    dy: EllMatrix
+    lap: EllMatrix  # velocity Laplacian (no BC rows)
+    bmask: jnp.ndarray  # [n_pad] 1.0 at boundary points
+    u_bc: jnp.ndarray  # [n_pad] Kovasznay u at boundary (0 elsewhere)
+    v_bc: jnp.ndarray
+    normals: jnp.ndarray  # [n_pad, 2]
+    config: FracStepConfig
+    state0: FracStepState
+
+
+def _permuted_ell(a: sp.csr_matrix, row_map: np.ndarray, n_pad: int,
+                  block_rows: int) -> EllMatrix:
+    perm_mat = sp.coo_matrix(
+        (np.ones(row_map.size), (row_map, np.arange(row_map.size))),
+        shape=(n_pad, row_map.size),
+    ).tocsr()
+    ap = (perm_mat @ a @ perm_mat.T).tocsr()
+    ap.sum_duplicates()
+    return ell_from_csr(ap, block_rows=block_rows)
+
+
+def build_fracstep_problem(
+    sizes: list[int] | None = None,
+    num_levels: int = 4,
+    poly_deg: int = 6,
+    config: FracStepConfig | None = None,
+    seed: int = 0,
+    block_rows: int = 256,
+    stabilize: bool = True,
+) -> FracStepProblem:
+    """genFractionalStepGrid + gen_fracstep_param equivalent
+    (FractionalStepSim.cpp:3-79): square clouds, Neumann pressure BCs,
+    implicit condensation, fine poly_deg / coarse 3, base-degree transfers
+    (FracStepMultigrid.cpp:23)."""
+    config = config or FracStepConfig()
+    if sizes is None:
+        sizes = list(REFERENCE_MG_SIZES["square"][:num_levels])
+    mg_config = MultigridConfig(
+        num_levels=len(sizes),
+        fine_poly_deg=poly_deg,
+        coarse_poly_deg=3,
+        transfer_poly="base",  # FracStepMultigrid.cpp:23
+    )
+    clouds = [make_cloud("square", n, seed=seed + i) for i, n in enumerate(sizes)]
+    bc_types = ["neumann"]
+
+    re = config.reynolds
+    lam = kovasznay_lambda(re)
+
+    def bc_fn(pts, normals, comp):
+        # reference stores p values as the "bc data" (FractionalStepSim.cpp:18)
+        return 0.5 * np.exp(2 * lam * pts[:, 0])
+
+    hier, ordered = build_hierarchy(
+        clouds, bc_types, bc_fn, mg_config, block_rows, stabilize=stabilize
+    )
+
+    fine = ordered[-1]
+    op_f = hier.finest
+    flags = bc_flags_from_cloud(fine, ["neumann"])
+    cfg_f = mg_config.level_config(len(sizes) - 1)
+    rm = np.asarray(op_f.row_map)
+
+    dx_csr = assemble_operator_csr(fine, flags, cfg_f, op="dx")
+    dy_csr = assemble_operator_csr(fine, flags, cfg_f, op="dy")
+    lap_csr = assemble_operator_csr(
+        fine, flags, cfg_f, op="laplace", neumann_rows=False
+    )
+    dxe = _permuted_ell(dx_csr, rm, op_f.n_pad, block_rows)
+    dye = _permuted_ell(dy_csr, rm, op_f.n_pad, block_rows)
+    lape = _permuted_ell(lap_csr, rm, op_f.n_pad, block_rows)
+
+    u_ex, v_ex, _ = kovasznay_uvp(fine.points, re)
+    bmask_l = fine.boundary_mask
+    bmask = op_f.to_padded(jnp.asarray(bmask_l.astype(np.float64)))
+    u_bc = op_f.to_padded(jnp.asarray(np.where(bmask_l, u_ex, 0.0)))
+    v_bc = op_f.to_padded(jnp.asarray(np.where(bmask_l, v_ex, 0.0)))
+    normals = jnp.zeros((op_f.n_pad, 2)).at[op_f.row_map].set(
+        jnp.asarray(fine.normals)
+    )
+
+    mg0 = init_state(hier, jnp.zeros(fine.n))
+    zero = jnp.zeros(op_f.n_pad)
+    state0 = FracStepState(
+        u=zero, v=zero, u_old=zero, v_old=zero, u_hat=zero, v_hat=zero, mg=mg0
+    )
+    return FracStepProblem(
+        hierarchy=hier,
+        clouds=ordered,
+        dx=dxe,
+        dy=dye,
+        lap=lape,
+        bmask=bmask,
+        u_bc=u_bc,
+        v_bc=v_bc,
+        normals=normals,
+        config=config,
+        state0=state0,
+    )
+
+
+def set_uv_bound(prob: FracStepProblem, u, v):
+    """Pin boundary velocities to the exact flow (fractionalStepGrid.cpp:41-59)."""
+    u = jnp.where(prob.bmask > 0, prob.u_bc, u)
+    v = jnp.where(prob.bmask > 0, prob.v_bc, v)
+    return u, v
+
+
+def predictor(prob: FracStepProblem, u, v):
+    """Explicit advection-diffusion predictor (fractionalStepGrid.cpp:101-124)."""
+    c = prob.config
+    u_x, u_y = spmv(prob.dx, u), spmv(prob.dy, u)
+    v_x, v_y = spmv(prob.dx, v), spmv(prob.dy, v)
+    lap_u, lap_v = spmv(prob.lap, u), spmv(prob.lap, v)
+    u_hat = u + c.dt * (-(u * u_x + v * u_y) + c.mu / c.rho * lap_u)
+    v_hat = v + c.dt * (-(u * v_x + v * v_y) + c.mu / c.rho * lap_v)
+    return u_hat, v_hat
+
+
+def ppe_source(prob: FracStepProblem, u, v, u_hat, v_hat):
+    """PPE RHS (fractionalStepGrid.cpp:125-145) + pushdown (grid.cpp:664)."""
+    c = prob.config
+    div = spmv(prob.dx, u_hat) + spmv(prob.dy, v_hat)
+    b = c.rho / c.dt * div
+    dpdx = -c.rho / c.dt * (u - u_hat)
+    dpdy = -c.rho / c.dt * (v - v_hat)
+    bnd = prob.normals[:, 0] * dpdx + prob.normals[:, 1] * dpdy
+    b = jnp.where(prob.bmask > 0, bnd, b)
+    op_f = prob.hierarchy.finest
+    b = sm.push_inhomog_to_rhs(op_f, b)
+    return b
+
+
+def corrector(prob: FracStepProblem, u_hat, v_hat, p):
+    """Projection step (fractionalStepGrid.cpp:146-151)."""
+    c = prob.config
+    u = u_hat - c.dt / c.rho * spmv(prob.dx, p)
+    v = v_hat - c.dt / c.rho * spmv(prob.dy, p)
+    return u, v
+
+
+def fs_residual(prob: FracStepProblem, u, u_hat):
+    """||u - u_hat||_1 / N (fractionalStepGrid.cpp:152-154)."""
+    return jnp.sum(jnp.abs(u - u_hat)) / prob.hierarchy.finest.n
+
+
+@partial(jax.jit, static_argnames=("config", "ppe_solver", "max_cycles"))
+def _timestep_impl(hier, dx, dy, lap, bmask, u_bc, v_bc, normals,
+                   state: FracStepState, *, config: FracStepConfig,
+                   ppe_solver: str, max_cycles: int):
+    # lightweight view of the problem for the helper functions
+    prob = FracStepProblem(
+        hierarchy=hier, clouds=[], dx=dx, dy=dy, lap=lap, bmask=bmask,
+        u_bc=u_bc, v_bc=v_bc, normals=normals, config=config, state0=state,
+    )
+    c = config
+    fine_i = len(hier.levels) - 1
+
+    u, v = set_uv_bound(prob, state.u, state.v)
+    u_old, v_old = u, v
+    u_hat, v_hat = predictor(prob, u, v)
+    b = ppe_source(prob, u, v, u_hat, v_hat)
+
+    mg = state.mg.replace_level(fine_i, b=b, b_lag=jnp.zeros((), b.dtype))
+    if ppe_solver == "bicgstab":
+        mg, _, _ = solve_bicgstab(hier, mg, tol=c.ppe_tol, max_iters=max_cycles)
+    else:
+        mg, _, _ = solve_to_tolerance(hier, mg, tol=c.ppe_tol, max_cycles=max_cycles)
+    p = mg.x[fine_i]
+
+    u, v = corrector(prob, u_hat, v_hat, p)
+    u, v = set_uv_bound(prob, u, v)
+    res = fs_residual(prob, u, u_hat)
+    new = FracStepState(
+        u=u, v=v, u_old=u_old, v_old=v_old, u_hat=u_hat, v_hat=v_hat, mg=mg
+    )
+    return new, res
+
+
+def timestep(prob: FracStepProblem, state: FracStepState,
+             ppe_solver: str = "vcycle", max_cycles: int = 60):
+    """One fractional step; returns (state, fs_residual)."""
+    return _timestep_impl(
+        prob.hierarchy, prob.dx, prob.dy, prob.lap, prob.bmask, prob.u_bc,
+        prob.v_bc, prob.normals, state,
+        config=prob.config, ppe_solver=ppe_solver, max_cycles=max_cycles,
+    )
+
+
+def run(prob: FracStepProblem, steps: int | None = None,
+        ppe_solver: str = "vcycle", max_cycles: int = 60):
+    """Time loop (run_fracstep_param, FractionalStepSim.cpp:130-156).
+
+    Returns (final state, fs_residual history, u L1 error vs Kovasznay) —
+    the reference's final validation metric (:158-168).
+    """
+    steps = prob.config.max_steps if steps is None else steps
+    state = prob.state0
+    hist = []
+    for _ in range(steps):
+        state, res = timestep(prob, state, ppe_solver, max_cycles)
+        hist.append(float(res))
+    err = u_error_vs_kovasznay(prob, state)
+    return state, np.asarray(hist), err
+
+
+def u_error_vs_kovasznay(prob: FracStepProblem, state: FracStepState) -> float:
+    op = prob.hierarchy.finest
+    u_log = np.asarray(op.to_logical(state.u))
+    u_ex, _, _ = kovasznay_uvp(prob.clouds[-1].points, prob.config.reynolds)
+    return float(np.abs(u_log - u_ex).mean())
+
+
+def prescribe_solution(prob: FracStepProblem, state: FracStepState) -> FracStepState:
+    """Set exact Kovasznay u, v, p (prescribe_soln, fractionalStepGrid.cpp:26-40)."""
+    op = prob.hierarchy.finest
+    u_ex, v_ex, p_ex = kovasznay_uvp(prob.clouds[-1].points, prob.config.reynolds)
+    u = op.to_padded(jnp.asarray(u_ex))
+    v = op.to_padded(jnp.asarray(v_ex))
+    p = op.to_padded(jnp.asarray(p_ex))
+    fine_i = len(prob.hierarchy.levels) - 1
+    mg = state.mg.replace_level(fine_i, x=p)
+    return dataclasses.replace(state, u=u, v=v, u_old=u, v_old=v, mg=mg)

@@ -164,13 +164,16 @@ def ell_to_csr(ell: EllMatrix):
     return m
 
 
-def spmv(ell: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A @ x, XLA reference path (padded-length output).
+def spmv(ell, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x (padded-length output [nrows_pad]).
 
-    The TPU fast path is ops/kernels.py; this version is the semantics
-    oracle and the CPU/testing backend.  Returns [nrows_pad]; slice to
-    ``ell.nrows`` for the logical result.
+    Dispatches to the Pallas TPU kernel for KernelEll operands; the XLA
+    gather path below is the semantics oracle and the CPU/testing backend.
     """
+    if type(ell).__name__ == "KernelEll":
+        from meshlessmultigridpoisson_tpu.ops.kernels import spmv_tpu
+
+        return spmv_tpu(ell, x)
     gc = global_cols(ell)
     return jnp.sum(ell.vals * jnp.take(x, gc, axis=0), axis=1)
 

@@ -25,8 +25,20 @@ from meshlessmultigridpoisson_tpu.ops.ell import spmv
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
 
-def matvec(op: LevelOperator, x: jnp.ndarray, x_lag) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _is_tpu(op) -> bool:
+    return type(op).__name__ == "TpuLevel"
+
+
+def _tpu():
+    from meshlessmultigridpoisson_tpu.mg import tpu_backend
+
+    return tpu_backend
+
+
+def matvec(op, x: jnp.ndarray, x_lag) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full bordered matvec: (A x + lag_col*x_lag, lag_row.x + x_lag)."""
+    if _is_tpu(op):
+        return _tpu().matvec(op, x, x_lag)
     y = spmv(op.A, x)
     if op.has_lagrange:
         y = y + op.lag_col * x_lag
@@ -36,13 +48,15 @@ def matvec(op: LevelOperator, x: jnp.ndarray, x_lag) -> tuple[jnp.ndarray, jnp.n
     return y, y_lag
 
 
-def bound_eval_neumann(op: LevelOperator, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def bound_eval_neumann(op, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exactly solve each Neumann boundary row for its own unknown.
 
     x_b = (b_b - sum_{j != b} A_bj x_j) / A_bb  (grid.cpp:73-103).  Boundary
     stencils exclude other boundary points (grid.cpp:236-244), so all rows
     update independently in parallel.
     """
+    if _is_tpu(op):
+        return _tpu().bound_eval_neumann(op, x, b)
     if op.bound.nrows == 0:
         return x
     c = op.bound
@@ -92,7 +106,7 @@ def _gs_sweep(op: LevelOperator, x: jnp.ndarray, x_lag, b: jnp.ndarray):
 
 
 def smooth(
-    op: LevelOperator,
+    op,
     x: jnp.ndarray,
     x_lag,
     b: jnp.ndarray,
@@ -105,6 +119,8 @@ def smooth(
     Lagrange-row relax (the border is the last row of the reference sweep)
     -> Neumann boundary row solve (grid.cpp:144).
     """
+    if _is_tpu(op):
+        return _tpu().smooth(op, x, x_lag, b, b_lag, iters)
     iters = op.iters if iters is None else iters
     w = op.omega
     for _ in range(iters):
@@ -116,7 +132,7 @@ def smooth(
     return x, x_lag
 
 
-def residual(op: LevelOperator, x, x_lag, b, b_lag):
+def residual(op, x, x_lag, b, b_lag):
     """r = b - A_full x, zeroed at Dirichlet rows (grid.cpp:147-151,197-205).
 
     Returns (r [n_pad], r_lag scalar).
@@ -128,7 +144,7 @@ def residual(op: LevelOperator, x, x_lag, b, b_lag):
     return r, r_lag
 
 
-def relative_residual_l1(op: LevelOperator, x, x_lag, b, b_lag):
+def relative_residual_l1(op, x, x_lag, b, b_lag):
     """||r||_1 / ||b||_1 over the full bordered system (multigrid.cpp:112-115)."""
     r, r_lag = residual(op, x, x_lag, b, b_lag)
     num = jnp.sum(jnp.abs(r)) + jnp.abs(r_lag)
@@ -136,13 +152,15 @@ def relative_residual_l1(op: LevelOperator, x, x_lag, b, b_lag):
     return num / den
 
 
-def push_inhomog_to_rhs(op: LevelOperator, b: jnp.ndarray) -> jnp.ndarray:
+def push_inhomog_to_rhs(op, b: jnp.ndarray) -> jnp.ndarray:
     """b_i -= sum_j C_ij b_j for interior rows (grid.cpp:664-685).
 
     C = S D^{-1} acts on the CURRENT b (whose Neumann slots hold the
     boundary data g); single application like the reference's copy-based
     loop.
     """
+    if _is_tpu(op):
+        return _tpu().push_inhomog_to_rhs(op, b)
     if op.cond.nrows == 0:
         return b
     c = op.cond
@@ -151,19 +169,19 @@ def push_inhomog_to_rhs(op: LevelOperator, b: jnp.ndarray) -> jnp.ndarray:
     return b.at[c.rows].set(br - delta, mode="drop")
 
 
-def apply_dirichlet(op: LevelOperator, x: jnp.ndarray, coarse: bool) -> jnp.ndarray:
+def apply_dirichlet(op, x: jnp.ndarray, coarse: bool) -> jnp.ndarray:
     """boundaryOp: pin Dirichlet values to g (fine) or 0 (coarse) (grid.cpp:42-51)."""
     val = jnp.zeros_like(x) if coarse else op.dirichlet_values
     return jnp.where(op.dirichlet_mask > 0, val, x)
 
 
-def set_neumann_source(op: LevelOperator, b: jnp.ndarray, coarse: bool):
+def set_neumann_source(op, b: jnp.ndarray, coarse: bool):
     """modify_coeff_neumann: b at Neumann rows := g (fine) or 0 (coarse);
     border slot zeroed by the caller (grid.cpp:62-72)."""
     val = jnp.zeros_like(b) if coarse else op.neumann_values
     return jnp.where(op.neumann_mask > 0, val, b)
 
 
-def zero_dirichlet(op: LevelOperator, v: jnp.ndarray) -> jnp.ndarray:
+def zero_dirichlet(op, v: jnp.ndarray) -> jnp.ndarray:
     """fix_vector_bound_coarse (grid.cpp:197-205)."""
     return jnp.where(op.dirichlet_mask > 0, 0.0, v)
