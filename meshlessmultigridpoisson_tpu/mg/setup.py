@@ -53,12 +53,16 @@ def build_hierarchy(
     config: MultigridConfig,
     block_rows: int = 256,
     stabilize: bool = True,
+    fine_interior_csr_fn=None,
 ) -> tuple[Hierarchy, list[PointCloud]]:
     """Build operators + transfers for clouds ordered coarse -> fine.
 
     Returns (hierarchy, ordered_clouds) — callers evaluate sources / exact
     solutions on the ordered clouds.  ``stabilize`` runs the setup-time
     smoother-stability pass (mg/stabilize.py) per level.
+    ``fine_interior_csr_fn(ordered_cloud, flags, cfg) -> csr`` optionally
+    overrides the FINEST level's interior operator rows (compatible
+    projection, see stencil/operators.build_level_operator).
     """
     from meshlessmultigridpoisson_tpu.mg.stabilize import stabilize_level
 
@@ -75,7 +79,12 @@ def build_hierarchy(
         ordered.append(oc)
         flags = bc_flags_from_cloud(oc, list(bc_types))
         vals = dense_bc_values(oc, bc_values_fn)
-        op = build_level_operator(oc, flags, vals, cfg, block_rows=block_rows)
+        icsr = None
+        if fine_interior_csr_fn is not None and lvl == L - 1:
+            icsr = fine_interior_csr_fn(oc, flags, cfg)
+        op = build_level_operator(
+            oc, flags, vals, cfg, block_rows=block_rows, interior_csr=icsr
+        )
         if stabilize:
             op = stabilize_level(op)
         levels.append(op)

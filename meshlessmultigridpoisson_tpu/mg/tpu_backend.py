@@ -89,6 +89,8 @@ class TpuLevel:
     iters: int
     class_size: int
     n: int
+    bound_n: int
+    cond_n: int
 
     @property
     def n_pad(self) -> int:

@@ -122,11 +122,20 @@ def build_fracstep_problem(
     seed: int = 0,
     block_rows: int = 256,
     stabilize: bool = True,
+    compatible_ppe: bool = True,
 ) -> FracStepProblem:
     """genFractionalStepGrid + gen_fracstep_param equivalent
     (FractionalStepSim.cpp:3-79): square clouds, Neumann pressure BCs,
     implicit condensation, fine poly_deg / coarse 3, base-degree transfers
-    (FracStepMultigrid.cpp:23)."""
+    (FracStepMultigrid.cpp:23).
+
+    ``compatible_ppe`` (default, a deliberate improvement over the
+    reference): the fine PPE interior operator is the exact discrete
+    div o grad = Dx.Dx + Dy.Dy the corrector applies, which drops the
+    projection-loop gain from ~5 (divergent; the reference's assembled-
+    Laplacian PPE measured on our clouds) to ~1; set False for strict
+    reference parity.
+    """
     config = config or FracStepConfig()
     if sizes is None:
         sizes = list(REFERENCE_MG_SIZES["square"][:num_levels])
@@ -146,8 +155,16 @@ def build_fracstep_problem(
         # reference stores p values as the "bc data" (FractionalStepSim.cpp:18)
         return 0.5 * np.exp(2 * lam * pts[:, 0])
 
+    def compat_fn(oc, flags, cfg):
+        dxc = assemble_operator_csr(oc, flags, cfg, op="dx")
+        dyc = assemble_operator_csr(oc, flags, cfg, op="dy")
+        m = (dxc @ dxc + dyc @ dyc).tocsr()
+        m.sum_duplicates()
+        return m
+
     hier, ordered = build_hierarchy(
-        clouds, bc_types, bc_fn, mg_config, block_rows, stabilize=stabilize
+        clouds, bc_types, bc_fn, mg_config, block_rows, stabilize=stabilize,
+        fine_interior_csr_fn=compat_fn if compatible_ppe else None,
     )
 
     fine = ordered[-1]

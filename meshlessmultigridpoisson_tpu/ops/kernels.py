@@ -272,6 +272,12 @@ def _sweep_kernel(
     xlag = xlag_ref[0]
     rows0 = i * (bsz // LANES)  # first sublane row of this block in x2d
 
+    # The aliased output buffer is not guaranteed to hold the input; copy
+    # once before any block computes (sequential grid => safe).
+    @pl.when(i == _i32(0))
+    def _():
+        x_out_ref[...] = x_in_ref[...]
+
     for c in range(nc):
         xw = x_out_ref[pl.ds(start, nchunks), :]
         lc = lcols_ref[c * tpc : (c + 1) * tpc, :]

@@ -240,6 +240,7 @@ def build_level_operator(
     implicit: bool | None = None,
     block_rows: int = 256,
     class_size: int = 8,
+    interior_csr: sp.csr_matrix | None = None,
 ) -> LevelOperator:
     """Assemble the full level operator for an (RCM-ordered) cloud.
 
@@ -248,6 +249,12 @@ def build_level_operator(
     True iff the problem has any Neumann boundary (the reference always sets
     implicitFlag_=true on its Neumann paths, testing_functions.cpp:268,
     FractionalStepSim.cpp:36, and false for Dirichlet, :151).
+
+    ``interior_csr`` overrides the INTERIOR rows of the operator (boundary
+    rows keep their standard treatment) — used by the compatible-projection
+    pressure operator div o grad = Dx.Dx + Dy.Dy, which makes the
+    fractional-step projection loop contractive where the reference's
+    assembled-Laplacian PPE has loop gain > 1 (measured ~5 on corner modes).
     """
     n = cloud.n
     has_neumann = bool((bc_flags == 2).any())
@@ -255,6 +262,13 @@ def build_level_operator(
         implicit = has_neumann
 
     A = assemble_operator_csr(cloud, bc_flags, config)
+    if interior_csr is not None:
+        interior = (bc_flags == 0).astype(np.float64)
+        A = (
+            interior_csr.multiply(interior[:, None])
+            + A.multiply((1.0 - interior)[:, None])
+        ).tocsr()
+        A.sum_duplicates()
     cond_csr = None
     if has_neumann and implicit:
         A, cond_csr = _condense_neumann(A, bc_flags)
