@@ -1,0 +1,223 @@
+"""Command-line interface: preprocess / solve / ns / sweep subcommands.
+
+Replaces the reference's comment-toggled main() (main.cpp:4-8) and
+hardcoded experiment generators (gen_mg_param, testing_functions.cpp:
+351-395; gen_fracstep_param, FractionalStepSim.cpp:50-79) with a real CLI:
+
+  python -m meshlessmultigridpoisson_tpu.apps.cli solve \
+      --geom square --sizes 600 2500 --deg 4 --neumann --tol 1e-10
+  python -m meshlessmultigridpoisson_tpu.apps.cli ns --steps 200
+  python -m meshlessmultigridpoisson_tpu.apps.cli sweep   # run_tests grid
+  python -m meshlessmultigridpoisson_tpu.apps.cli preprocess --out bundle.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _common(p):
+    p.add_argument("--geom", default="square",
+                   choices=["square", "square_with_circle",
+                            "concentric_circles", "box3d"])
+    p.add_argument("--sizes", type=int, nargs="+", default=[600, 2500])
+    p.add_argument("--deg", type=int, default=4)
+    p.add_argument("--k", type=int, default=1, help="manufactured wavenumber")
+    p.add_argument("--neumann", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="write a JSON SolveRecord here")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="meshlessmultigridpoisson-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve", help="manufactured-solution Poisson solve")
+    _common(ps)
+    ps.add_argument("--tol", type=float, default=1e-8)
+    ps.add_argument("--cycles", type=int, default=None,
+                    help="fixed V-cycle count instead of solving to --tol")
+    ps.add_argument("--solver", default="bicgstab",
+                    choices=["bicgstab", "vcycle"])
+
+    pn = sub.add_parser("ns", help="fractional-step Navier-Stokes (Kovasznay)")
+    pn.add_argument("--sizes", type=int, nargs="+",
+                    default=[170, 600, 2500, 10000])
+    pn.add_argument("--deg", type=int, default=6)
+    pn.add_argument("--steps", type=int, default=2000)
+    pn.add_argument("--dt", type=float, default=2e-4)
+    pn.add_argument("--mu", type=float, default=0.025)
+    pn.add_argument("--rho", type=float, default=1.0)
+    pn.add_argument("--ppe-tol", type=float, default=1e-10)
+    pn.add_argument("--reference-ppe", action="store_true",
+                    help="strict reference PPE (no compatible projection)")
+    pn.add_argument("--out", default=None)
+
+    pw = sub.add_parser("sweep", help="the reference run_tests parameter sweep")
+    pw.add_argument("--geoms", nargs="+",
+                    default=["square", "square_with_circle",
+                             "concentric_circles"])
+    pw.add_argument("--levels", type=int, nargs="+", default=[2, 3])
+    pw.add_argument("--ks", type=int, nargs="+", default=[1, 2])
+    pw.add_argument("--degs", type=int, nargs="+", default=[4])
+    pw.add_argument("--cycles", type=int, default=100)
+    pw.add_argument("--out", default="sweep_results.json")
+
+    pp = sub.add_parser("preprocess", help="build + save a setup bundle")
+    _common(pp)
+
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    if args.cmd == "solve":
+        record = _solve(args)
+        print(record.to_json())
+        if args.out:
+            record.save(args.out)
+    elif args.cmd == "ns":
+        _ns(args)
+    elif args.cmd == "sweep":
+        _sweep(args)
+    elif args.cmd == "preprocess":
+        _preprocess(args)
+
+
+def _build_problem(args):
+    from meshlessmultigridpoisson_tpu.models.poisson import make_poisson_problem
+
+    return make_poisson_problem(
+        args.geom, sizes=list(args.sizes), poly_deg=args.deg, k1=args.k,
+        neumann=args.neumann, seed=args.seed,
+    )
+
+
+def _solve(args):
+    import numpy as np
+    from meshlessmultigridpoisson_tpu.models.poisson import l1_error
+    from meshlessmultigridpoisson_tpu.mg.vcycle import run_v_cycles, solve_to_tolerance
+    from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
+    from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
+
+    with Timer() as t_setup:
+        prob = _build_problem(args)
+    rec = SolveRecord(
+        name=f"poisson-{args.geom}",
+        config=dict(sizes=list(args.sizes), deg=args.deg, k=args.k,
+                    neumann=args.neumann, solver=args.solver, tol=args.tol),
+    )
+    with Timer() as t:
+        if args.cycles:
+            state, hist = run_v_cycles(prob.hierarchy, prob.state0, args.cycles)
+            rec.residual_history = np.asarray(hist).tolist()
+            rec.cycles = args.cycles
+            rec.final_residual = float(rec.residual_history[-1])
+        elif args.solver == "bicgstab":
+            state, it, resid = solve_bicgstab(
+                prob.hierarchy, prob.state0, tol=args.tol, max_iters=300
+            )
+            rec.cycles = int(it)
+            rec.final_residual = float(resid)
+        else:
+            state, it, resid = solve_to_tolerance(
+                prob.hierarchy, prob.state0, tol=args.tol, max_cycles=2000
+            )
+            rec.cycles = int(it)
+            rec.final_residual = float(resid)
+    rec.wall_time_s = t.elapsed
+    rec.extra["setup_time_s"] = t_setup.elapsed
+    rec.l1_error = l1_error(prob, state.x[-1])
+    return rec
+
+
+def _ns(args):
+    import numpy as np
+    from meshlessmultigridpoisson_tpu.config import FracStepConfig
+    from meshlessmultigridpoisson_tpu.models import fracstep as fs
+    from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
+
+    cfg = FracStepConfig(dt=args.dt, mu=args.mu, rho=args.rho,
+                         ppe_tol=args.ppe_tol, max_steps=args.steps)
+    with Timer() as t_setup:
+        prob = fs.build_fracstep_problem(
+            sizes=list(args.sizes), poly_deg=args.deg, config=cfg,
+            compatible_ppe=not args.reference_ppe,
+        )
+    print(f"setup: {t_setup.elapsed:.1f}s", file=sys.stderr)
+    state = prob.state0
+    rec = SolveRecord(
+        name="fracstep-kovasznay",
+        config=dict(sizes=list(args.sizes), deg=args.deg, dt=args.dt,
+                    steps=args.steps, compatible=not args.reference_ppe),
+    )
+    with Timer() as t:
+        hist = []
+        for i in range(args.steps):
+            state, res = fs.timestep(prob, state, ppe_solver="bicgstab")
+            hist.append(float(res))
+            if i % 50 == 0:
+                err = fs.u_error_vs_kovasznay(prob, state)
+                print(f"step {i}: fs_res={hist[-1]:.3e} u_err={err:.3e}",
+                      file=sys.stderr, flush=True)
+    rec.wall_time_s = t.elapsed
+    rec.residual_history = hist[:: max(1, len(hist) // 500)]
+    rec.l1_error = fs.u_error_vs_kovasznay(prob, state)
+    rec.cycles = args.steps
+    print(rec.to_json())
+    if args.out:
+        rec.save(args.out)
+
+
+def _sweep(args):
+    """The reference run_tests grid (testing_functions.cpp:396-420)."""
+    import numpy as np
+
+    results = []
+    for geom in args.geoms:
+        for lv in args.levels:
+            for k in args.ks:
+                for deg in args.degs:
+                    ns = argparse.Namespace(
+                        geom=geom, sizes=_sweep_sizes(geom, lv), deg=deg, k=k,
+                        neumann=True, seed=0, solver="bicgstab", tol=1e-8,
+                        cycles=None, out=None,
+                    )
+                    t0 = time.time()
+                    try:
+                        rec = _solve(ns)
+                        row = json.loads(rec.to_json())
+                    except Exception as e:  # record failures, keep sweeping
+                        row = dict(name=f"poisson-{geom}", error=str(e))
+                    row["elapsed"] = time.time() - t0
+                    results.append(row)
+                    print(f"{geom} L{lv} k{k} deg{deg}: "
+                          f"{row.get('l1_error', row.get('error'))}",
+                          file=sys.stderr, flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+def _sweep_sizes(geom, levels):
+    from meshlessmultigridpoisson_tpu.config import REFERENCE_MG_SIZES
+
+    return list(REFERENCE_MG_SIZES[geom][:levels])
+
+
+def _preprocess(args):
+    from meshlessmultigridpoisson_tpu.io import save_bundle
+
+    prob = _build_problem(args)
+    out = args.out or "bundle.npz"
+    save_bundle(out, prob.hierarchy, prob.clouds)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

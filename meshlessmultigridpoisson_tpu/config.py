@@ -96,6 +96,11 @@ class FracStepConfig:
     ppe_tol: float = 1e-10
     max_steps: int = 2000
     flow_type: str = "kovasznay"
+    # Pressure under-relaxation p_used = p_relax*p_new + (1-p_relax)*p_old.
+    # The fixed point is unchanged; it damps the measured period-2 marginal
+    # mode (|lambda| ~ 1.01) of the discrete projection loop.  1.0 disables
+    # (strict reference behavior).
+    p_relax: float = 0.7
 
     @property
     def reynolds(self) -> float:

@@ -47,6 +47,14 @@ def block_class_permutation(
     pattern = a + a.T  # undirected coupling
     pattern = pattern.tocsr()
 
+    from meshlessmultigridpoisson_tpu.geometry import native
+
+    res = native.block_color_native(
+        pattern.indptr.astype(np.int64), pattern.indices, n, block_rows, class_size
+    )
+    if res is not None:
+        return res
+
     perm = np.empty(n, dtype=np.int64)
     conflicts = 0
     for s in range(0, n, block_rows):

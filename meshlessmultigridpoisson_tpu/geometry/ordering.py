@@ -61,6 +61,38 @@ def sfc_ordering(points: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+def kd_tile_ordering(points: np.ndarray, leaf: int = 128) -> np.ndarray:
+    """Recursive coordinate bisection into contiguous tiles of ``leaf`` points.
+
+    Every aligned run of ``leaf`` indices is a spatially compact patch, so a
+    stencil's columns fall into O(1) patches regardless of N — the invariant
+    the patch-table TPU kernels (ops/kernels.py v2) rely on.  Splits halve
+    point COUNTS (not extents) along the wider axis, so tiles stay balanced;
+    DFS order keeps neighboring tiles mostly adjacent in index space.
+    """
+    n = points.shape[0]
+    perm = np.empty(n, dtype=np.int64)
+    out_pos = [0]
+
+    def rec(idx: np.ndarray):
+        if idx.size <= leaf:
+            perm[out_pos[0] : out_pos[0] + idx.size] = idx
+            out_pos[0] += idx.size
+            return
+        p = points[idx]
+        ext = p.max(axis=0) - p.min(axis=0)
+        ax = int(np.argmax(ext))
+        # split at a leaf-multiple so tiles stay aligned to `leaf`
+        ntiles_left = (idx.size // leaf + 1) // 2
+        kth = min(max(ntiles_left * leaf, leaf), idx.size - 1)
+        order = np.argpartition(p[:, ax], kth)
+        rec(idx[order[:kth]])
+        rec(idx[order[kth:]])
+
+    rec(np.arange(n, dtype=np.int64))
+    return perm
+
+
 def tile_window_ordering(
     points: np.ndarray, neighbors: np.ndarray, prefer: str = "rcm"
 ) -> np.ndarray:

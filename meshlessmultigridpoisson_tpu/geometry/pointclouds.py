@@ -101,6 +101,25 @@ def poisson_disk(
     hi = np.asarray(hi, float)
     area = float(np.prod(hi - lo))
     r = np.sqrt(0.72 * area / max(n_target, 1))
+
+    # native fast path (csrc/fastgeom.cpp) for the unit box + the shapes the
+    # reference geometries need; the generic keep_fn falls back to Python
+    if tuple(lo) == (0.0, 0.0) and tuple(hi) == (1.0, 1.0):
+        from meshlessmultigridpoisson_tpu.geometry import native
+
+        hole = getattr(keep_fn, "_hole", None) if keep_fn is not None else None
+        annulus = getattr(keep_fn, "_annulus", None) if keep_fn is not None else None
+        if keep_fn is None or hole is not None or annulus is not None:
+            pts = native.poisson_disk_native(
+                r, seed,
+                boundary_pts=boundary_pts,
+                clearance=boundary_clearance * r,
+                hole=hole or (0.0, 0.0, -1.0),
+                annulus=annulus or (-1.0, -1.0),
+            )
+            if pts is not None:
+                return pts
+
     cell = r / np.sqrt(2)
     dims = np.maximum(((hi - lo) / cell).astype(int) + 1, 1)
     grid = -np.ones(dims, dtype=np.int64)
@@ -225,6 +244,8 @@ def square_with_circle_cloud(
     def keep_fn(p):
         return ((p[:, 0] - 0.5) ** 2 + (p[:, 1] - 0.5) ** 2) > r_hole**2
 
+    keep_fn._hole = (0.5, 0.5, r_hole)
+
     interior = poisson_disk(
         int(n_target / area),  # box-area-based radius -> ~n_target kept points
         seed,
@@ -278,6 +299,8 @@ def concentric_circles_cloud(
     def keep_fn(p):
         rr = (p[:, 0] - 0.5) ** 2 + (p[:, 1] - 0.5) ** 2
         return (rr > r_in**2) & (rr < r_out**2)
+
+    keep_fn._annulus = (r_in, r_out)
 
     # poisson_disk derives its radius from the full box area; scale the
     # target count so the annulus ends up with ~n_target points at spacing h

@@ -30,8 +30,20 @@ from meshlessmultigridpoisson_tpu.stencil.operators import (
 BCValueFn = Callable[[np.ndarray, np.ndarray, int], np.ndarray]
 
 
-def order_cloud(cloud: PointCloud, stencil_k: int, neumann: bool) -> PointCloud:
-    """RCM-order a cloud by its stencil graph (Grid::rcm_order_points)."""
+def order_cloud(
+    cloud: PointCloud, stencil_k: int, neumann: bool, method: str = "rcm"
+) -> PointCloud:
+    """Order a cloud for locality.
+
+    ``rcm`` (Grid::rcm_order_points equivalent): 1-D banded windows — what
+    the contiguous-halo distributed partitioner wants.  ``kd``: KD-tile
+    order with aligned 128-point spatial patches — what the patch-table TPU
+    kernels want (N-independent gather cost).
+    """
+    if method == "kd":
+        from meshlessmultigridpoisson_tpu.geometry.ordering import kd_tile_ordering
+
+        return cloud.permuted(kd_tile_ordering(cloud.points))
     nb = knn(
         cloud.points, stencil_k, boundary_mask=cloud.boundary_mask, neumann=neumann
     )

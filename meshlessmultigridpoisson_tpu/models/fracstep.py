@@ -273,12 +273,15 @@ def _timestep_impl(hier, dx, dy, lap, bmask, u_bc, v_bc, normals,
     u_hat, v_hat = predictor(prob, u, v)
     b = ppe_source(prob, u, v, u_hat, v_hat)
 
+    p_old = state.mg.x[fine_i]
     mg = state.mg.replace_level(fine_i, b=b, b_lag=jnp.zeros((), b.dtype))
     if ppe_solver == "bicgstab":
         mg, _, _ = solve_bicgstab(hier, mg, tol=c.ppe_tol, max_iters=max_cycles)
     else:
         mg, _, _ = solve_to_tolerance(hier, mg, tol=c.ppe_tol, max_cycles=max_cycles)
-    p = mg.x[fine_i]
+    # pressure under-relaxation (see FracStepConfig.p_relax)
+    p = c.p_relax * mg.x[fine_i] + (1.0 - c.p_relax) * p_old
+    mg = mg.replace_level(fine_i, x=p)
 
     u, v = corrector(prob, u_hat, v_hat, p)
     u, v = set_uv_bound(prob, u, v)

@@ -361,3 +361,284 @@ def sor_sweep_tpu(
         x2,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2: patch-table kernels (N-independent gather cost)
+# ---------------------------------------------------------------------------
+#
+# With KD-tile ordering (geometry/ordering.kd_tile_ordering), every aligned
+# 128-row run of x is a spatially compact patch and a 256-row block's
+# stencils touch a bounded set of patches (measured median 12 / max 19,
+# independent of N, vs. an RCM window that grows like sqrt(N)).  v2 stores
+# TABLE-LOCAL column indices and a per-block patch list; kernels assemble a
+# [G, 128] gather table from the patch rows of x and run the same
+# chunk-gather loop over G chunks.
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("vals_flat", "lcols_flat", "patch_ids"),
+    meta_fields=(
+        "nrows", "ncols", "block_rows", "class_size", "num_patches", "width",
+        "nrows_pad",
+    ),
+)
+@dataclasses.dataclass(frozen=True)
+class KernelEll2:
+    """Class-interleaved ELL + per-block patch tables (see above)."""
+
+    vals_flat: jnp.ndarray  # [n_pad*Kp/128, 128]
+    lcols_flat: jnp.ndarray  # [n_pad*Kp/128, 128] int32 TABLE-LOCAL
+    patch_ids: jnp.ndarray  # [nblocks * G] int32 sublane rows of x2d
+    nrows: int
+    ncols: int
+    block_rows: int
+    class_size: int
+    num_patches: int  # G
+    width: int  # Kp
+    nrows_pad: int
+
+    @property
+    def nblocks(self) -> int:
+        return self.nrows_pad // self.block_rows
+
+    @property
+    def num_classes(self) -> int:
+        return self.block_rows // self.class_size
+
+    @property
+    def tiles_per_class(self) -> int:
+        return self.class_size * self.width // LANES
+
+    @property
+    def tiles_per_block(self) -> int:
+        return self.block_rows * self.width // LANES
+
+    @property
+    def x_rows(self) -> int:
+        return _round_up(self.ncols, LANES) // LANES
+
+
+def prepare_kernel_ell2(
+    ell: EllMatrix, class_size: int = 8, dtype=jnp.float32
+) -> KernelEll2:
+    """Host-side repack into the patch-table layout."""
+    from meshlessmultigridpoisson_tpu.ops.ell import global_cols
+
+    b = ell.block_rows
+    s = class_size
+    if b % LANES != 0:
+        raise ValueError("block_rows must be a multiple of 128")
+    w0 = ell.width
+    kp = _round_up(w0 * s, LANES) // s
+    n_pad = ell.nrows_pad
+    nblocks = n_pad // b
+    nc = b // s
+
+    gc = np.zeros((n_pad, kp), dtype=np.int64)
+    gc[:, :w0] = np.asarray(global_cols(ell))
+    gc[:, w0:] = gc[:, :1]
+    vals = np.zeros((n_pad, kp), dtype=np.float64)
+    vals[:, :w0] = np.asarray(ell.vals)
+
+    patches = gc >> 7
+    g_max = 1
+    patch_lists = np.zeros((nblocks, 1), dtype=np.int64)
+    per_block = []
+    for i in range(nblocks):
+        u = np.unique(patches[i * b : (i + 1) * b])
+        per_block.append(u)
+        g_max = max(g_max, u.size)
+    plist = np.zeros((nblocks, g_max), dtype=np.int64)
+    lcols = np.empty_like(gc)
+    own_per_block = b // LANES  # own patches of a block
+    for i, u in enumerate(per_block):
+        # own patches first (the sweep kernel refreshes slot 0 per class;
+        # with b == 128 the own patch is exactly slot 0)
+        own = np.arange(i * own_per_block, (i + 1) * own_per_block)
+        own = own[np.isin(own, u)]
+        rest = u[~np.isin(u, own)]
+        u = np.concatenate([own, rest])
+        plist[i, : u.size] = u
+        plist[i, u.size :] = u[0]
+        # map global col -> local table index
+        lut = {p: j for j, p in enumerate(u)}
+        pp = patches[i * b : (i + 1) * b]
+        loc = np.vectorize(lut.get, otypes=[np.int64])(pp)
+        lcols[i * b : (i + 1) * b] = (loc << 7) | (gc[i * b : (i + 1) * b] & 127)
+
+    def interleave(a):
+        return (
+            a.reshape(nblocks, nc, s, kp).transpose(0, 1, 3, 2).reshape(-1, LANES)
+        )
+
+    return KernelEll2(
+        vals_flat=jnp.asarray(interleave(vals), dtype),
+        lcols_flat=jnp.asarray(interleave(lcols).astype(np.int32)),
+        patch_ids=jnp.asarray(plist.reshape(-1).astype(np.int32)),
+        nrows=ell.nrows,
+        ncols=ell.ncols,
+        block_rows=b,
+        class_size=s,
+        num_patches=g_max,
+        width=kp,
+        nrows_pad=n_pad,
+    )
+
+
+def _load_patch_table(x_ref, pid_ref, base, g, scratch):
+    """Fill scratch [G, 128] with the block's patch rows of the 2-D x."""
+    for j in range(g):
+        scratch[j, :] = x_ref[pid_ref[base + j], :]
+
+
+def _spmv2_kernel(pid_ref, vals_ref, lcols_ref, selr_ref, sell_ref, x_ref,
+                  out_ref, scratch, *, g):
+    i = pl.program_id(0)
+    _load_patch_table(x_ref, pid_ref, i * g, g, scratch)
+    tab = scratch[...]
+    gat = _window_gather(tab, lcols_ref[...], g)
+    prod = vals_ref[...] * gat
+    part = jnp.dot(prod, selr_ref[...], preferred_element_type=prod.dtype,
+                   precision=lax.Precision.HIGHEST)
+    y = jnp.dot(sell_ref[...], part, preferred_element_type=prod.dtype,
+                precision=lax.Precision.HIGHEST)
+    out_ref[...] = y[None]
+
+
+def spmv_tpu2(kell: KernelEll2, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x with patch-table gathers; returns [nrows_pad]."""
+    dtype = kell.vals_flat.dtype
+    xr = kell.x_rows
+    xp = jnp.zeros(xr * LANES, dtype).at[: x.shape[0]].set(x.astype(dtype))
+    x2 = xp.reshape(xr, LANES)
+    tpb = kell.tiles_per_block
+    nc, s = kell.num_classes, kell.class_size
+    sel_r = _sel_r(s, np.dtype(dtype))
+    sel_l = _sel_l(nc, kell.tiles_per_class, np.dtype(dtype))
+    z2 = lambda i, ws: (np.int32(0),) * 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kell.nblocks,),
+        in_specs=[
+            pl.BlockSpec((tpb, LANES), lambda i, ws: (i, np.int32(0))),
+            pl.BlockSpec((tpb, LANES), lambda i, ws: (i, np.int32(0))),
+            pl.BlockSpec((LANES, s), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tpb), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nc, s),
+                               lambda i, ws: (i, np.int32(0), np.int32(0))),
+        scratch_shapes=[pltpu.VMEM((kell.num_patches, LANES), dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmv2_kernel, g=kell.num_patches),
+        out_shape=jax.ShapeDtypeStruct((kell.nblocks, nc, s), dtype),
+        grid_spec=grid_spec,
+    )(kell.patch_ids, kell.vals_flat, kell.lcols_flat,
+      jnp.asarray(sel_r), jnp.asarray(sel_l), x2)
+    return out.reshape(-1)
+
+
+def _sweep2_kernel(
+    pid_ref, xlag_ref, vals_ref, lcols_ref, selr_ref, dinv_ref, b_ref, m_ref,
+    w_ref, lagc_ref, x_in_ref, x_out_ref, scratch, *, g, bsz, s, tpc,
+):
+    i = pl.program_id(0)
+    nc = bsz // s
+    xlag = xlag_ref[0]
+    rows0 = i * (bsz // LANES)
+
+    @pl.when(i == _i32(0))
+    def _():
+        x_out_ref[...] = x_in_ref[...]
+
+    # foreign patches are frozen for the whole block (cross-block GS reads
+    # them fresh here); the block's OWN patch is slot 0 (prepare_kernel_ell2
+    # orders it first) and is refreshed before every class below.
+    _load_patch_table(x_out_ref, pid_ref, i * g, g, scratch)
+
+    for c in range(nc):
+        for j in range(bsz // LANES):  # refresh the block's own patches
+            scratch[j, :] = x_out_ref[pid_ref[i * g + j], :]
+        tab = scratch[...]
+        lc = lcols_ref[c * tpc : (c + 1) * tpc, :]
+        v = vals_ref[c * tpc : (c + 1) * tpc, :]
+        gat = _window_gather(tab, lc, g)
+        part = jnp.dot(v * gat, selr_ref[...], preferred_element_type=gat.dtype,
+                       precision=lax.Precision.HIGHEST)
+        y = jnp.sum(part, axis=0)
+        sub = (c * s) // LANES
+        lane0 = (c * s) % LANES
+        xt = x_out_ref[rows0 + sub, lane0 : lane0 + s]
+        d_inv = dinv_ref[0, sub, lane0 : lane0 + s]
+        bb = b_ref[0, sub, lane0 : lane0 + s]
+        m = m_ref[0, sub, lane0 : lane0 + s]
+        w = w_ref[0, sub, lane0 : lane0 + s]
+        lagc = lagc_ref[0, sub, lane0 : lane0 + s]
+        diag = 1.0 / d_inv
+        off = y + lagc * xlag - diag * xt
+        xi = (1.0 - w) * xt + w * d_inv * (bb - off)
+        x_out_ref[rows0 + sub, lane0 : lane0 + s] = jnp.where(m > 0, xi, xt)
+
+
+def sor_sweep_tpu2(
+    kell: KernelEll2,
+    x2: jnp.ndarray,  # [x_rows, 128]
+    x_lag: jnp.ndarray,
+    dinv3: jnp.ndarray,
+    b3: jnp.ndarray,
+    mask3: jnp.ndarray,
+    omega3: jnp.ndarray,
+    lagc3: jnp.ndarray,
+) -> jnp.ndarray:
+    dtype = kell.vals_flat.dtype
+    tpb = kell.tiles_per_block
+    bsz = kell.block_rows
+    s = kell.class_size
+    tpc = kell.tiles_per_class
+    sel_r = _sel_r(s, np.dtype(dtype))
+    rows128 = bsz // LANES
+    z2 = lambda i, ws: (np.int32(0),) * 2
+    rowspec = pl.BlockSpec((1, rows128, LANES),
+                           lambda i, ws: (i, np.int32(0), np.int32(0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kell.nblocks,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i, ws: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tpb, LANES), lambda i, ws: (i, np.int32(0))),
+            pl.BlockSpec((tpb, LANES), lambda i, ws: (i, np.int32(0))),
+            pl.BlockSpec((LANES, s), z2, memory_space=pltpu.VMEM),
+            rowspec,
+            rowspec,
+            rowspec,
+            rowspec,
+            rowspec,
+            pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kell.num_patches, LANES), dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_sweep2_kernel, g=kell.num_patches, bsz=bsz, s=s,
+                          tpc=tpc),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={10: 0},
+    )(
+        kell.patch_ids,
+        jnp.asarray([x_lag], dtype),
+        kell.vals_flat,
+        kell.lcols_flat,
+        jnp.asarray(sel_r),
+        dinv3,
+        b3,
+        mask3,
+        omega3,
+        lagc3,
+        x2,
+    )
+    return out
