@@ -12,17 +12,22 @@ import dataclasses
 from typing import Sequence
 
 
-def poly_terms(poly_deg: int) -> int:
-    """Number of 2D monomials up to total degree ``poly_deg``.
+def poly_terms(poly_deg: int, dim: int = 2) -> int:
+    """Number of monomials up to total degree ``poly_deg`` in ``dim`` D.
 
-    Reference: ``(polyDeg + 1) * (polyDeg + 2) / 2`` (grid.cpp:266).
+    2D reference rule: ``(polyDeg + 1) * (polyDeg + 2) / 2`` (grid.cpp:266);
+    3D is the designed extension (C(deg+3, 3) terms).
     """
-    return (poly_deg + 1) * (poly_deg + 2) // 2
+    if dim == 2:
+        return (poly_deg + 1) * (poly_deg + 2) // 2
+    if dim == 3:
+        return (poly_deg + 1) * (poly_deg + 2) * (poly_deg + 3) // 6
+    raise ValueError(f"dim must be 2 or 3, got {dim}")
 
 
-def stencil_size(poly_deg: int) -> int:
+def stencil_size(poly_deg: int, dim: int = 2) -> int:
     """Stencil size rule k = floor(2.5 * polyTerms) (grid.cpp:267)."""
-    return int(2.5 * poly_terms(poly_deg))
+    return int(2.5 * poly_terms(poly_deg, dim))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,14 +43,15 @@ class GridConfig:
     rbf_exp: int = 3
     omega: float = 1.4
     iters: int = 5
+    dim: int = 2
 
     @property
     def stencil_size(self) -> int:
-        return stencil_size(self.poly_deg)
+        return stencil_size(self.poly_deg, self.dim)
 
     @property
     def poly_terms(self) -> int:
-        return poly_terms(self.poly_deg)
+        return poly_terms(self.poly_deg, self.dim)
 
 
 @dataclasses.dataclass(frozen=True)

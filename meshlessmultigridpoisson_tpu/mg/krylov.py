@@ -70,18 +70,25 @@ def _precond(hier0: Hierarchy, v, v_lag):
     return x, state.x_lag[fine_i]
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "matvec"))
 def solve_bicgstab(
     hier: Hierarchy,
     state: MGState,
     tol,
     max_iters: int = 100,
+    matvec=None,
 ):
     """Preconditioned BiCGStab on the bordered fine system.
 
     Starts from ``state`` (x as initial guess, b as RHS); returns
     (state with solution, iterations, relative residual).  The tolerance is
     on ||r||_1 / ||b||_1 like the reference (multigrid.cpp:112-115).
+
+    ``matvec(x, x_lag) -> (y, y_lag)`` optionally replaces the fine-level
+    operator in the OUTER Krylov system while ``hier`` stays the
+    preconditioner — e.g. the matrix-free compatible-projection PPE
+    (models/fracstep) solves div o grad with a standard-Laplacian V-cycle
+    preconditioner.
     """
     hier0 = _homogeneous_hier(hier)
     fine_i = len(hier.levels) - 1
@@ -96,6 +103,8 @@ def solve_bicgstab(
     xl0 = state.x_lag[fine_i]
 
     def mv(p, pl):
+        if matvec is not None:
+            return matvec(p, pl)
         return _full_matvec(op, p, pl)
 
     ax, axl = mv(x0, xl0)

@@ -101,6 +101,7 @@ class FracStepProblem:
     normals: jnp.ndarray  # [n_pad, 2]
     config: FracStepConfig
     state0: FracStepState
+    compatible_ppe: bool = True
 
 
 def _permuted_ell(a: sp.csr_matrix, row_map: np.ndarray, n_pad: int,
@@ -130,11 +131,15 @@ def build_fracstep_problem(
     (FracStepMultigrid.cpp:23).
 
     ``compatible_ppe`` (default, a deliberate improvement over the
-    reference): the fine PPE interior operator is the exact discrete
-    div o grad = Dx.Dx + Dy.Dy the corrector applies, which drops the
-    projection-loop gain from ~5 (divergent; the reference's assembled-
-    Laplacian PPE measured on our clouds) to ~1; set False for strict
-    reference parity.
+    reference): the OUTER PPE system is the exact discrete
+    div o grad = Dx.(Dx p) + Dy.(Dy p) the corrector applies (matrix-free,
+    composed from the derivative operators; Neumann rows and the Lagrange
+    border as usual), solved by BiCGStab preconditioned with the STANDARD
+    Laplacian V-cycle.  This drops the projection-loop gain from ~5
+    (divergent; the reference's assembled-Laplacian PPE measured on our
+    clouds) to ~1, while keeping the solver on the operator it is good at
+    (assembled-div-grad relaxation measured rho=2.8 at deg 6 — unusable as
+    a smoother).  Set False for strict reference parity.
     """
     config = config or FracStepConfig()
     if sizes is None:
@@ -155,16 +160,8 @@ def build_fracstep_problem(
         # reference stores p values as the "bc data" (FractionalStepSim.cpp:18)
         return 0.5 * np.exp(2 * lam * pts[:, 0])
 
-    def compat_fn(oc, flags, cfg):
-        dxc = assemble_operator_csr(oc, flags, cfg, op="dx")
-        dyc = assemble_operator_csr(oc, flags, cfg, op="dy")
-        m = (dxc @ dxc + dyc @ dyc).tocsr()
-        m.sum_duplicates()
-        return m
-
     hier, ordered = build_hierarchy(
         clouds, bc_types, bc_fn, mg_config, block_rows, stabilize=stabilize,
-        fine_interior_csr_fn=compat_fn if compatible_ppe else None,
     )
 
     fine = ordered[-1]
@@ -208,6 +205,7 @@ def build_fracstep_problem(
         normals=normals,
         config=config,
         state0=state0,
+        compatible_ppe=compatible_ppe,
     )
 
 
@@ -230,7 +228,12 @@ def predictor(prob: FracStepProblem, u, v):
 
 
 def ppe_source(prob: FracStepProblem, u, v, u_hat, v_hat):
-    """PPE RHS (fractionalStepGrid.cpp:125-145) + pushdown (grid.cpp:664)."""
+    """PPE RHS (fractionalStepGrid.cpp:125-145).
+
+    Reference mode also applies the condensation pushdown (grid.cpp:664);
+    the matrix-free compatible system keeps boundary coupling explicit so
+    the raw bordered RHS is used directly.
+    """
     c = prob.config
     div = spmv(prob.dx, u_hat) + spmv(prob.dy, v_hat)
     b = c.rho / c.dt * div
@@ -238,9 +241,37 @@ def ppe_source(prob: FracStepProblem, u, v, u_hat, v_hat):
     dpdy = -c.rho / c.dt * (v - v_hat)
     bnd = prob.normals[:, 0] * dpdx + prob.normals[:, 1] * dpdy
     b = jnp.where(prob.bmask > 0, bnd, b)
-    op_f = prob.hierarchy.finest
-    b = sm.push_inhomog_to_rhs(op_f, b)
+    if not prob.compatible_ppe:
+        b = sm.push_inhomog_to_rhs(prob.hierarchy.finest, b)
     return b
+
+
+def make_compatible_matvec(prob: FracStepProblem):
+    """Bordered matrix-free div o grad PPE operator.
+
+    Interior rows: Dx.(Dx p) + Dy.(Dy p) (exactly what the corrector
+    removes); Neumann rows: the standard n.grad rows; Lagrange border as
+    usual.  Boundary p columns stay explicitly coupled (no condensation).
+    """
+    op = prob.hierarchy.finest
+    bound = op.bound
+
+    def mv(x, xl):
+        gx = spmv(prob.dx, x)
+        gy = spmv(prob.dy, x)
+        y = spmv(prob.dx, gx) + spmv(prob.dy, gy)
+        # Neumann rows from the compact n.grad set
+        yb = spmv(bound.ell, x)
+        safe = jnp.minimum(bound.rows, op.n_pad - 1)
+        y = y.at[bound.rows].set(yb[: bound.rows.shape[0]], mode="drop")
+        del safe
+        # identity on padding/Dirichlet rows keeps the bordered system square
+        y = jnp.where(op.smooth_mask + op.neumann_mask > 0, y, x)
+        y = y + op.lag_col * xl
+        ylag = jnp.vdot(op.lag_row, x) + xl
+        return y, ylag
+
+    return mv
 
 
 def corrector(prob: FracStepProblem, u_hat, v_hat, p):
@@ -256,14 +287,16 @@ def fs_residual(prob: FracStepProblem, u, u_hat):
     return jnp.sum(jnp.abs(u - u_hat)) / prob.hierarchy.finest.n
 
 
-@partial(jax.jit, static_argnames=("config", "ppe_solver", "max_cycles"))
+@partial(jax.jit,
+         static_argnames=("config", "ppe_solver", "max_cycles", "compatible"))
 def _timestep_impl(hier, dx, dy, lap, bmask, u_bc, v_bc, normals,
                    state: FracStepState, *, config: FracStepConfig,
-                   ppe_solver: str, max_cycles: int):
+                   ppe_solver: str, max_cycles: int, compatible: bool):
     # lightweight view of the problem for the helper functions
     prob = FracStepProblem(
         hierarchy=hier, clouds=[], dx=dx, dy=dy, lap=lap, bmask=bmask,
         u_bc=u_bc, v_bc=v_bc, normals=normals, config=config, state0=state,
+        compatible_ppe=compatible,
     )
     c = config
     fine_i = len(hier.levels) - 1
@@ -275,7 +308,12 @@ def _timestep_impl(hier, dx, dy, lap, bmask, u_bc, v_bc, normals,
 
     p_old = state.mg.x[fine_i]
     mg = state.mg.replace_level(fine_i, b=b, b_lag=jnp.zeros((), b.dtype))
-    if ppe_solver == "bicgstab":
+    if prob.compatible_ppe:
+        mg, _, _ = solve_bicgstab(
+            hier, mg, tol=c.ppe_tol, max_iters=max_cycles,
+            matvec=make_compatible_matvec(prob),
+        )
+    elif ppe_solver == "bicgstab":
         mg, _, _ = solve_bicgstab(hier, mg, tol=c.ppe_tol, max_iters=max_cycles)
     else:
         mg, _, _ = solve_to_tolerance(hier, mg, tol=c.ppe_tol, max_cycles=max_cycles)
@@ -299,6 +337,7 @@ def timestep(prob: FracStepProblem, state: FracStepState,
         prob.hierarchy, prob.dx, prob.dy, prob.lap, prob.bmask, prob.u_bc,
         prob.v_bc, prob.normals, state,
         config=prob.config, ppe_solver=ppe_solver, max_cycles=max_cycles,
+        compatible=prob.compatible_ppe,
     )
 
 
