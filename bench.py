@@ -79,25 +79,27 @@ def main():
     jax.config.update("jax_enable_x64", True)
     from meshlessmultigridpoisson_tpu.utils.jaxutils import on_cpu
 
-    n, k, band = 1_048_576, 70, 1200
+    # near-diagonal band mimics the KD-tile patch locality of real ordered
+    # operators (measured G ~ 9-12 patches/block independent of N)
+    n, k, band = 1_048_576, 70, 512
     log(f"building synthetic operator n={n} k={k} band={band}")
     with on_cpu():
         from meshlessmultigridpoisson_tpu.ops.ell import ell_from_csr, global_cols
         from meshlessmultigridpoisson_tpu.ops.kernels import (
-            prepare_kernel_ell,
-            spmv_tpu,
-            sor_sweep_tpu,
+            prepare_kernel_ell2 as prepare_kernel_ell,
+            spmv_tpu2 as spmv_tpu,
+            sor_sweep_tpu2 as sor_sweep_tpu,
             LANES,
         )
 
         a = synthetic_banded_csr(n, k, band)
-        ell = ell_from_csr(a, block_rows=256)
+        ell = ell_from_csr(a, block_rows=128)
         kell = prepare_kernel_ell(ell)
         x0 = np.random.default_rng(1).standard_normal(ell.nrows_pad)
         diag = np.asarray(ell.diag)
 
     dev = jax.devices()[0]
-    log(f"device: {dev}; kp={kell.width} win={kell.win_size}")
+    log(f"device: {dev}; kp={kell.width} patches/block={kell.num_patches}")
     kd = jax.device_put(kell, dev)
     xd = jax.device_put(jnp.asarray(x0, jnp.float32), dev)
     nnz = n * k  # logical nnz (pad excluded)
@@ -128,9 +130,9 @@ def main():
     mask3 = r3(np.ones(kell.nrows_pad))
     omega3 = r3(np.full(kell.nrows_pad, 1.4))
     lagc3 = r3(np.zeros(kell.nrows_pad))
-    x2 = jnp.zeros((kell.x_pad // LANES, LANES), jnp.float32)
-    rows2d = kell.nrows_pad // LANES
-    x2 = x2.at[:rows2d].set(xd[: rows2d * LANES].reshape(rows2d, LANES))
+    xr = kell.x_rows
+    x2 = jnp.zeros((xr, LANES), jnp.float32)
+    x2 = x2.at[:xr].set(xd[: xr * LANES].reshape(xr, LANES))
     x2 = jax.device_put(x2, dev)
 
     sweep_j = jax.jit(

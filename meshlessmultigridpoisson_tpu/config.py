@@ -107,6 +107,18 @@ class FracStepConfig:
     # mode (|lambda| ~ 1.01) of the discrete projection loop.  1.0 disables
     # (strict reference behavior).
     p_relax: float = 0.7
+    # Diffusion treatment: "explicit" (reference forward-Euler,
+    # fractionalStepGrid.cpp:101-124) or "implicit" (backward-Euler
+    # Helmholtz solve (I - dt nu Lap) u_hat = u - dt (u.grad)u —
+    # unconditionally diffusion-stable and damps the spurious high-degree
+    # advective modes that destabilize deg-6 operators at fine resolution).
+    diffusion: str = "explicit"
+    # Hyperviscosity strength (standard RBF-FD advection stabilization,
+    # Flyer/Fornberg practice): adds -hv * nu * Lap(Lap u)/|lam_max(Lap)| to
+    # the predictor, damping the spurious high-order-stencil modes that make
+    # explicit advection weakly unstable at fine resolution + high degree
+    # (observed at deg 6 / 10k points).  0 disables (reference behavior).
+    hyperviscosity: float = 0.0
 
     @property
     def reynolds(self) -> float:

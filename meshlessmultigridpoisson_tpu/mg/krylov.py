@@ -174,3 +174,51 @@ def solve_bicgstab(
     x = sm.bound_eval_neumann(op, x, state.b[fine_i])
     new_state = state.replace_level(fine_i, x=x, x_lag=out["xl"])
     return new_state, out["it"], out["resid"]
+
+
+@partial(jax.jit, static_argnames=("matvec", "max_iters"))
+def bicgstab_matfree(matvec, b, x0, tol, max_iters: int = 100):
+    """Plain (unpreconditioned) BiCGStab for well-conditioned systems.
+
+    Used by the semi-implicit diffusion predictor: (I - dt nu L) is strongly
+    diagonally dominant, so a handful of iterations reaches 1e-12.
+    """
+    bnorm = jnp.linalg.norm(b)
+
+    r = b - matvec(x0)
+    rhat = r
+    init = dict(
+        x=x0, r=r, p=r, rho=jnp.vdot(rhat, r),
+        it=jnp.zeros((), jnp.int32),
+        resid=jnp.linalg.norm(r) / jnp.where(bnorm == 0, 1.0, bnorm),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["resid"] >= tol, c["it"] < max_iters)
+
+    def body(c):
+        v = matvec(c["p"])
+        denom = jnp.vdot(rhat, v)
+        alpha = c["rho"] / jnp.where(denom == 0, 1e-300, denom)
+        s = c["r"] - alpha * v
+        t = matvec(s)
+        tt = jnp.vdot(t, t)
+        om = jnp.vdot(t, s) / jnp.where(tt == 0, 1e-300, tt)
+        x = c["x"] + alpha * c["p"] + om * s
+        r2 = s - om * t
+        rho2 = jnp.vdot(rhat, r2)
+        beta = (rho2 / jnp.where(c["rho"] == 0, 1e-300, c["rho"])) * (
+            alpha / jnp.where(om == 0, 1e-300, om)
+        )
+        p2 = r2 + beta * (c["p"] - om * v)
+        resid2 = jnp.linalg.norm(r2) / jnp.where(bnorm == 0, 1.0, bnorm)
+        ok = jnp.isfinite(resid2)
+        sel = lambda a, bb: jnp.where(ok, a, bb)
+        return dict(
+            x=sel(x, c["x"]), r=sel(r2, c["r"]), p=sel(p2, c["p"]),
+            rho=sel(rho2, c["rho"]), it=c["it"] + 1,
+            resid=jnp.where(ok, resid2, -1.0),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["x"], out["it"], out["resid"]

@@ -102,6 +102,7 @@ class FracStepProblem:
     config: FracStepConfig
     state0: FracStepState
     compatible_ppe: bool = True
+    lap_scale: float = 1.0  # |lam_max(lap)| estimate for hyperviscosity
 
 
 def _permuted_ell(a: sp.csr_matrix, row_map: np.ndarray, n_pad: int,
@@ -188,6 +189,16 @@ def build_fracstep_problem(
         jnp.asarray(fine.normals)
     )
 
+    # spectral-radius estimate of the velocity Laplacian (hyperviscosity
+    # normalization): a few power iterations on the host
+    lam = 1.0
+    if (config.hyperviscosity or 0.0) > 0.0:
+        vv = jnp.asarray(np.random.default_rng(7).standard_normal(op_f.n_pad))
+        for _ in range(20):
+            v2 = spmv(lape, vv)
+            lam = float(jnp.linalg.norm(v2) / jnp.linalg.norm(vv))
+            vv = v2 / jnp.linalg.norm(v2)
+
     mg0 = init_state(hier, jnp.zeros(fine.n))
     zero = jnp.zeros(op_f.n_pad)
     state0 = FracStepState(
@@ -206,6 +217,7 @@ def build_fracstep_problem(
         config=config,
         state0=state0,
         compatible_ppe=compatible_ppe,
+        lap_scale=lam,
     )
 
 
@@ -217,13 +229,44 @@ def set_uv_bound(prob: FracStepProblem, u, v):
 
 
 def predictor(prob: FracStepProblem, u, v):
-    """Explicit advection-diffusion predictor (fractionalStepGrid.cpp:101-124)."""
+    """Advection-diffusion predictor (fractionalStepGrid.cpp:101-124).
+
+    ``diffusion="explicit"``: the reference's forward-Euler form, with
+    optional hyperviscosity -hv*nu*Lap(Lap u)/|lam_max|.
+    ``diffusion="implicit"``: backward-Euler viscosity — solve
+    (I - dt nu Lap) u_hat = u - dt (u.grad)u with plain BiCGStab (the
+    Helmholtz operator is diagonally dominant; ~10-30 iterations).
+    """
     c = prob.config
+    nu = c.mu / c.rho
     u_x, u_y = spmv(prob.dx, u), spmv(prob.dy, u)
     v_x, v_y = spmv(prob.dx, v), spmv(prob.dy, v)
+    adv_u = -(u * u_x + v * u_y)
+    adv_v = -(u * v_x + v * v_y)
+
+    if c.diffusion == "implicit":
+        from meshlessmultigridpoisson_tpu.mg.krylov import bicgstab_matfree
+
+        def helmholtz(w):
+            return w - c.dt * nu * spmv(prob.lap, w)
+
+        u_hat, _, _ = bicgstab_matfree(
+            helmholtz, u + c.dt * adv_u, u, tol=1e-12, max_iters=200
+        )
+        v_hat, _, _ = bicgstab_matfree(
+            helmholtz, v + c.dt * adv_v, v, tol=1e-12, max_iters=200
+        )
+        return u_hat, v_hat
+
     lap_u, lap_v = spmv(prob.lap, u), spmv(prob.lap, v)
-    u_hat = u + c.dt * (-(u * u_x + v * u_y) + c.mu / c.rho * lap_u)
-    v_hat = v + c.dt * (-(u * v_x + v * v_y) + c.mu / c.rho * lap_v)
+    rhs_u = adv_u + nu * lap_u
+    rhs_v = adv_v + nu * lap_v
+    if c.hyperviscosity > 0.0:
+        g = c.hyperviscosity * nu / prob.lap_scale
+        rhs_u = rhs_u - g * spmv(prob.lap, lap_u)
+        rhs_v = rhs_v - g * spmv(prob.lap, lap_v)
+    u_hat = u + c.dt * rhs_u
+    v_hat = v + c.dt * rhs_v
     return u_hat, v_hat
 
 
@@ -291,12 +334,13 @@ def fs_residual(prob: FracStepProblem, u, u_hat):
          static_argnames=("config", "ppe_solver", "max_cycles", "compatible"))
 def _timestep_impl(hier, dx, dy, lap, bmask, u_bc, v_bc, normals,
                    state: FracStepState, *, config: FracStepConfig,
-                   ppe_solver: str, max_cycles: int, compatible: bool):
+                   ppe_solver: str, max_cycles: int, compatible: bool,
+                   lap_scale: float = 1.0):
     # lightweight view of the problem for the helper functions
     prob = FracStepProblem(
         hierarchy=hier, clouds=[], dx=dx, dy=dy, lap=lap, bmask=bmask,
         u_bc=u_bc, v_bc=v_bc, normals=normals, config=config, state0=state,
-        compatible_ppe=compatible,
+        compatible_ppe=compatible, lap_scale=lap_scale,
     )
     c = config
     fine_i = len(hier.levels) - 1
@@ -337,7 +381,7 @@ def timestep(prob: FracStepProblem, state: FracStepState,
         prob.hierarchy, prob.dx, prob.dy, prob.lap, prob.bmask, prob.u_bc,
         prob.v_bc, prob.normals, state,
         config=prob.config, ppe_solver=ppe_solver, max_cycles=max_cycles,
-        compatible=prob.compatible_ppe,
+        compatible=prob.compatible_ppe, lap_scale=prob.lap_scale,
     )
 
 

@@ -1,14 +1,21 @@
-"""Relaxation sweeps and residuals over LevelOperator (XLA reference path).
+"""Relaxation sweeps and residuals (backend-dispatching solver protocol).
 
 Semantics mirror Grid::sor / bound_eval_neumann / residual
 (grid.cpp:73-151) with one deliberate deviation (SURVEY.md "hard parts" #1):
-the reference's in-place lexicographic SOR is inherently sequential, so the
-parallel smoother is weighted relaxation in Jacobi form over the interior
-mask, with the Lagrange row relaxed after the point rows (it is the last row
-of the reference sweep) and the Neumann boundary rows re-solved exactly
-after every sweep (grid.cpp:144).  Converged solutions match the reference;
-per-sweep histories differ by a bounded factor.  A sequential block-SOR
-Pallas kernel (ops/kernels.py) recovers GS-like smoothing strength on TPU.
+the reference's in-place lexicographic SOR is inherently sequential, and
+weighted JACOBI measurably diverges on these non-diagonally-dominant RBF-FD
+operators (rho(D^-1(L+U)) ~ 1.55) — so the smoother is EXACT Gauss-Seidel
+under the (block, class, slot) row permutation prepared at setup
+(geometry/coloring.py): scanning the in-block independent-set tiles in
+order with fresh values is a true GS ordering with the same fixed point and
+measured convergence at least as good as lexicographic.  The Lagrange row
+relaxes after the point rows (it is the last row of the reference sweep)
+and the Neumann boundary rows are re-solved exactly after every sweep
+(grid.cpp:144).
+
+Every function here dispatches: LevelOperator -> the XLA/f64 path below
+(the semantics oracle, CPU tests, sharded in-shard math); TpuLevel ->
+mg/tpu_backend's fused Pallas kernels (identical semantics, f32).
 
 The Lagrange rank-1 border (grid.cpp:566-576) appears as:
   row i (non-Neumann):  ... + x_lag
