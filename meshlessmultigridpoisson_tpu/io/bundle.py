@@ -66,3 +66,12 @@ def save_state(path: str, state) -> None:
 
 def load_state(path: str):
     return _load_pytree(path)
+
+
+def write_vector_txt(vec, path: str) -> None:
+    """One value per line (writeVectorToTxt parity, fileReadingFunctions.cpp:70-79)."""
+    np.savetxt(path, np.asarray(vec).reshape(-1))
+
+
+def read_vector_txt(path: str) -> np.ndarray:
+    return np.loadtxt(path).reshape(-1)

@@ -66,6 +66,7 @@ def build_hierarchy(
     block_rows: int = 256,
     stabilize: bool = True,
     fine_interior_csr_fn=None,
+    ordering: str = "rcm",
 ) -> tuple[Hierarchy, list[PointCloud]]:
     """Build operators + transfers for clouds ordered coarse -> fine.
 
@@ -87,7 +88,7 @@ def build_hierarchy(
     levels = []
     for lvl, cloud in enumerate(clouds):
         cfg = config.level_config(lvl)
-        oc = order_cloud(cloud, cfg.stencil_size, neumann)
+        oc = order_cloud(cloud, cfg.stencil_size, neumann, method=ordering)
         ordered.append(oc)
         flags = bc_flags_from_cloud(oc, list(bc_types))
         vals = dense_bc_values(oc, bc_values_fn)

@@ -21,10 +21,10 @@ import numpy as np
 
 from meshlessmultigridpoisson_tpu.mg.vcycle import Hierarchy
 from meshlessmultigridpoisson_tpu.ops.kernels import (
-    KernelEll,
-    prepare_kernel_ell,
-    sor_sweep_tpu,
-    spmv_tpu,
+    KernelEll2,
+    prepare_kernel_ell2,
+    sor_sweep_tpu2,
+    spmv_tpu2,
     LANES,
 )
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
@@ -63,11 +63,11 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 class TpuLevel:
     """All per-level data in kernel-ready f32 layouts."""
 
-    kell: KernelEll
-    bound_kell: KernelEll  # Neumann rows, compact
+    kell: KernelEll2
+    bound_kell: KernelEll2  # Neumann rows, compact
     bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
     bound_diag: jnp.ndarray  # [mb_pad] f32
-    cond_kell: KernelEll
+    cond_kell: KernelEll2
     cond_rows: jnp.ndarray
     diag: jnp.ndarray  # [n_pad] f32
     dinv3: jnp.ndarray  # [nblocks, B/128, 128]
@@ -105,7 +105,7 @@ class TpuLevel:
         return jnp.take(v_padded, self.row_map)
 
 
-def _rows3(kell: KernelEll, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
+def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
     b = kell.block_rows
     return jnp.asarray(
         np.asarray(v, dtype).reshape(kell.nblocks, b // LANES, LANES)
@@ -114,9 +114,9 @@ def _rows3(kell: KernelEll, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
 
 def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
     """Repack a CPU-built LevelOperator for TPU kernels (host-side)."""
-    kell = prepare_kernel_ell(op.A, class_size=op.class_size, dtype=dtype)
-    bk = prepare_kernel_ell(op.bound.ell, class_size=op.class_size, dtype=dtype)
-    ck = prepare_kernel_ell(op.cond.ell, class_size=op.class_size, dtype=dtype)
+    kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
+    bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
+    ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
     f = lambda v: jnp.asarray(np.asarray(v), dtype)
     return TpuLevel(
@@ -154,8 +154,8 @@ def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
 def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
     """Convert a CPU hierarchy to the TPU backend (transfer ops included)."""
     levels = tuple(tpu_level_from_operator(op, dtype) for op in hier.levels)
-    restrict = tuple(prepare_kernel_ell(r, dtype=dtype) for r in hier.restrict)
-    prolong = tuple(prepare_kernel_ell(p, dtype=dtype) for p in hier.prolong)
+    restrict = tuple(prepare_kernel_ell2(r, dtype=dtype) for r in hier.restrict)
+    prolong = tuple(prepare_kernel_ell2(p, dtype=dtype) for p in hier.prolong)
     return Hierarchy(levels=levels, restrict=restrict, prolong=prolong)
 
 
@@ -165,7 +165,7 @@ def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
 
 
 def matvec(op: TpuLevel, x, x_lag):
-    y = spmv_tpu(op.kell, x)
+    y = spmv_tpu2(op.kell, x)
     if op.has_lagrange:
         y = y + op.lag_col * x_lag
         y_lag = jnp.vdot(op.lag_row, x) + x_lag
@@ -177,7 +177,7 @@ def matvec(op: TpuLevel, x, x_lag):
 def bound_eval_neumann(op: TpuLevel, x, b):
     if op.bound_n == 0:
         return x
-    y = spmv_tpu(op.bound_kell, x)[: op.bound_rows.shape[0]]
+    y = spmv_tpu2(op.bound_kell, x)[: op.bound_rows.shape[0]]
     safe = jnp.minimum(op.bound_rows, op.n_pad - 1)
     xr = jnp.take(x, safe)
     br = jnp.take(b, safe)
@@ -191,24 +191,23 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     kell = op.kell
     b3 = b.reshape(op.dinv3.shape)
     rows2d = kell.nrows_pad // LANES
-    x2 = jnp.zeros((kell.x_pad // LANES, LANES), x.dtype)
-    x2 = x2.at[:rows2d].set(x.reshape(rows2d, LANES))
+    x2 = x.reshape(rows2d, LANES)
     for _ in range(iters):
-        x2 = sor_sweep_tpu(
+        x2 = sor_sweep_tpu2(
             kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
         )
-        x = x2[:rows2d].reshape(-1)
+        x = x2.reshape(-1)
         if op.has_lagrange:
             x_lag = (1.0 - w) * x_lag + w * (b_lag - jnp.vdot(op.lag_row, x))
         x = bound_eval_neumann(op, x, b)
-        x2 = x2.at[:rows2d].set(x.reshape(rows2d, LANES))
+        x2 = x.reshape(rows2d, LANES)
     return x, x_lag
 
 
 def push_inhomog_to_rhs(op: TpuLevel, b):
     if op.cond_n == 0:
         return b
-    delta = spmv_tpu(op.cond_kell, b)[: op.cond_rows.shape[0]]
+    delta = spmv_tpu2(op.cond_kell, b)[: op.cond_rows.shape[0]]
     safe = jnp.minimum(op.cond_rows, op.n_pad - 1)
     br = jnp.take(b, safe)
     return b.at[op.cond_rows].set(br - delta, mode="drop")

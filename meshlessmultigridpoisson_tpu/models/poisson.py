@@ -134,6 +134,7 @@ def make_poisson_problem(
     seed: int = 0,
     block_rows: int = 256,
     config: MultigridConfig | None = None,
+    ordering: str = "rcm",
 ) -> PoissonProblem:
     """Replicates gen_mg_param + run_mg_sim setup (testing_functions.cpp:328-395)."""
     k2 = k1 if k2 is None else k2
@@ -148,7 +149,8 @@ def make_poisson_problem(
         len(c.boundaries) for c in clouds
     )
     hier, ordered = build_hierarchy(
-        clouds, bc_types, _bc_value_fn(geomtype, neumann, k1, k2), config, block_rows
+        clouds, bc_types, _bc_value_fn(geomtype, neumann, k1, k2), config,
+        block_rows, ordering=ordering,
     )
 
     fine = ordered[-1]

@@ -174,6 +174,10 @@ def spmv(ell, x: jnp.ndarray) -> jnp.ndarray:
         from meshlessmultigridpoisson_tpu.ops.kernels import spmv_tpu
 
         return spmv_tpu(ell, x)
+    if type(ell).__name__ == "KernelEll2":
+        from meshlessmultigridpoisson_tpu.ops.kernels import spmv_tpu2
+
+        return spmv_tpu2(ell, x)
     gc = global_cols(ell)
     return jnp.sum(ell.vals * jnp.take(x, gc, axis=0), axis=1)
 

@@ -192,3 +192,48 @@ def set_neumann_source(op, b: jnp.ndarray, coarse: bool):
 def zero_dirichlet(op, v: jnp.ndarray) -> jnp.ndarray:
     """fix_vector_bound_coarse (grid.cpp:197-205)."""
     return jnp.where(op.dirichlet_mask > 0, 0.0, v)
+
+
+def condition_estimate(op) -> float:
+    """1 / rcond of the assembled operator (Grid::cond_L, grid.cpp:152-155).
+
+    The reference densifies and LU-factorizes; here scipy's 1-norm condition
+    estimator on the sparse matrix (exact enough for the diagnostics the
+    reference prints, without the O(n^3) densify).
+    """
+    import numpy as _np
+    import scipy.sparse.linalg as _spla
+
+    from meshlessmultigridpoisson_tpu.ops.ell import ell_to_csr
+
+    a = ell_to_csr(op.A).tocsc()
+    lu = _spla.splu(a + 1e-300 * _sp_eye(a.shape[0]))
+    one_norm = _np.abs(a).sum(axis=0).max()
+    inv_norm = _spla.onenormest(
+        _spla.LinearOperator(a.shape, matvec=lu.solve)
+    )
+    return float(one_norm * inv_norm)
+
+
+def _sp_eye(n):
+    import scipy.sparse as _sp
+
+    return _sp.identity(n, format="csc")
+
+
+def single_grid_probe(op, x, b, sweeps: int = 1000):
+    """Raw-smoother convergence history (testGmshSingleGrid,
+    testing_functions.cpp:422-479): ``sweeps`` single sweeps with the
+    per-sweep relative L1 residual recorded."""
+    import jax as _jax
+
+    zl = jnp.zeros((), x.dtype)
+
+    def body(carry, _):
+        x, xl = carry
+        r = relative_residual_l1(op, x, xl, b, zl)
+        x, xl = smooth(op, x, xl, b, zl, iters=1)
+        return (x, xl), r
+
+    (x, xl), hist = _jax.lax.scan(body, (x, zl), None, length=sweeps)
+    return x, hist
