@@ -54,6 +54,9 @@ def main(argv=None):
     pn.add_argument("--ppe-tol", type=float, default=1e-10)
     pn.add_argument("--reference-ppe", action="store_true",
                     help="strict reference PPE (no compatible projection)")
+    pn.add_argument("--implicit-diffusion", action="store_true",
+                    help="backward-Euler viscosity (needed at deg 6 + fine N)")
+    pn.add_argument("--p-relax", type=float, default=0.7)
     pn.add_argument("--out", default=None)
 
     pw = sub.add_parser("sweep", help="the reference run_tests parameter sweep")
@@ -143,7 +146,10 @@ def _ns(args):
     from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
 
     cfg = FracStepConfig(dt=args.dt, mu=args.mu, rho=args.rho,
-                         ppe_tol=args.ppe_tol, max_steps=args.steps)
+                         ppe_tol=args.ppe_tol, max_steps=args.steps,
+                         p_relax=args.p_relax,
+                         diffusion="implicit" if args.implicit_diffusion
+                         else "explicit")
     with Timer() as t_setup:
         prob = fs.build_fracstep_problem(
             sizes=list(args.sizes), poly_deg=args.deg, config=cfg,

@@ -642,3 +642,62 @@ def sor_sweep_tpu2(
         x2,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3 SpMV: XLA-precomputed patch tables (no in-kernel dynamic loads)
+# ---------------------------------------------------------------------------
+#
+# For a pure SpMV (x frozen), the per-block gather tables can be assembled
+# OUTSIDE the kernel by one XLA row-gather (slice-gather of 128-wide rows is
+# fast, unlike element gathers) and fed as a pipelined blocked input, so the
+# kernel body is just the chunk-gather + selector matmuls.  NOT valid for
+# the GS sweep (its tables must see earlier blocks' updates).
+
+
+def _spmv3_kernel(vals_ref, lcols_ref, selr_ref, sell_ref, tab_ref, out_ref):
+    g = tab_ref.shape[1]
+    gat = _window_gather(tab_ref[0], lcols_ref[...], g)
+    prod = vals_ref[...] * gat
+    part = jnp.dot(prod, selr_ref[...], preferred_element_type=prod.dtype,
+                   precision=lax.Precision.HIGHEST)
+    y = jnp.dot(sell_ref[...], part, preferred_element_type=prod.dtype,
+                precision=lax.Precision.HIGHEST)
+    out_ref[...] = y[None]
+
+
+def spmv_tpu3(kell: KernelEll2, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x with precomputed patch tables; returns [nrows_pad]."""
+    dtype = kell.vals_flat.dtype
+    xr = kell.x_rows
+    xp = jnp.zeros(xr * LANES, dtype).at[: x.shape[0]].set(x.astype(dtype))
+    x2 = xp.reshape(xr, LANES)
+    g = kell.num_patches
+    tables = jnp.take(x2, kell.patch_ids.reshape(kell.nblocks, g), axis=0)
+    tpb = kell.tiles_per_block
+    nc, s = kell.num_classes, kell.class_size
+    sel_r = _sel_r(s, np.dtype(dtype))
+    sel_l = _sel_l(nc, kell.tiles_per_class, np.dtype(dtype))
+    z2 = lambda i, ws: (np.int32(0),) * 2
+    grid_spec = pl.GridSpec(
+        grid=(kell.nblocks,),
+        in_specs=[
+            pl.BlockSpec((tpb, LANES), lambda i: (i, np.int32(0))),
+            pl.BlockSpec((tpb, LANES), lambda i: (i, np.int32(0))),
+            pl.BlockSpec((LANES, s), lambda i: (np.int32(0),) * 2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tpb), lambda i: (np.int32(0),) * 2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, LANES),
+                         lambda i: (i, np.int32(0), np.int32(0))),
+        ],
+        out_specs=pl.BlockSpec((1, nc, s),
+                               lambda i: (i, np.int32(0), np.int32(0))),
+    )
+    out = pl.pallas_call(
+        _spmv3_kernel,
+        out_shape=jax.ShapeDtypeStruct((kell.nblocks, nc, s), dtype),
+        grid_spec=grid_spec,
+    )(kell.vals_flat, kell.lcols_flat, jnp.asarray(sel_r), jnp.asarray(sel_l),
+      tables)
+    return out.reshape(-1)
