@@ -30,6 +30,19 @@ if not os.environ.get("MMP_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: kernel compiles through the remote-compile
+# helper cost minutes each; cache them across processes.
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older/newer jax knob drift — cache is best-effort
+    pass
+
 from meshlessmultigridpoisson_tpu.config import (  # noqa: E402
     GridConfig,
     MultigridConfig,
