@@ -41,7 +41,6 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
         "cond_rows",
         "diag",
         "dinv3",
-        "b3_shape_like",
         "mask3",
         "omega3",
         "lagc3",
@@ -71,7 +70,6 @@ class TpuLevel:
     cond_rows: jnp.ndarray
     diag: jnp.ndarray  # [n_pad] f32
     dinv3: jnp.ndarray  # [nblocks, B/128, 128]
-    b3_shape_like: jnp.ndarray  # zeros [nblocks, B/128, 128] (shape donor)
     mask3: jnp.ndarray
     omega3: jnp.ndarray
     lagc3: jnp.ndarray
@@ -128,7 +126,6 @@ def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
         cond_rows=jnp.asarray(np.asarray(op.cond.rows)),
         diag=f(diag),
         dinv3=_rows3(kell, 1.0 / diag),
-        b3_shape_like=_rows3(kell, np.zeros_like(diag)),
         mask3=_rows3(kell, np.asarray(op.smooth_mask)),
         omega3=_rows3(kell, op.omega * np.asarray(op.omega_scale)),
         lagc3=_rows3(kell, np.asarray(op.lag_col)),
