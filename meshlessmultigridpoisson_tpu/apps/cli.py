@@ -29,6 +29,9 @@ def _common(p):
     p.add_argument("--neumann", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="write a JSON SolveRecord here")
+    p.add_argument("--write-solution", default=None, metavar="DIR",
+                   help="dump x/y/solution/exact/error txt files "
+                        "(write_temp_contour, testing_functions.cpp:285-310)")
 
 
 def main(argv=None):
@@ -69,6 +72,16 @@ def main(argv=None):
     pw.add_argument("--cycles", type=int, default=100)
     pw.add_argument("--out", default="sweep_results.json")
 
+    pb = sub.add_parser(
+        "probe",
+        help="single-grid raw-smoother convergence probe "
+        "(testGmshSingleGrid, testing_functions.cpp:422-479)",
+    )
+    _common(pb)
+    pb.add_argument("--sweeps", type=int, default=1000)
+    pb.add_argument("--cond", action="store_true",
+                    help="also estimate cond(A) (Grid::cond_L, grid.cpp:152)")
+
     pp = sub.add_parser("preprocess", help="build + save a setup bundle")
     _common(pp)
 
@@ -88,6 +101,11 @@ def main(argv=None):
         _ns(args)
     elif args.cmd == "sweep":
         _sweep(args)
+    elif args.cmd == "probe":
+        record = _probe(args)
+        print(record.to_json())
+        if args.out:
+            record.save(args.out)
     elif args.cmd == "preprocess":
         _preprocess(args)
 
@@ -136,7 +154,32 @@ def _solve(args):
     rec.wall_time_s = t.elapsed
     rec.extra["setup_time_s"] = t_setup.elapsed
     rec.l1_error = l1_error(prob, state.x[-1])
+    if args.write_solution:
+        _write_solution(args.write_solution, prob, state.x[-1])
     return rec
+
+
+def _write_solution(outdir, prob, x_padded):
+    """Reference-style per-point txt dumps (write_temp_contour,
+    testing_functions.cpp:285-310; writeVectorToTxt,
+    fileReadingFunctions.cpp:70-79)."""
+    import os
+
+    import numpy as np
+    from meshlessmultigridpoisson_tpu.io.bundle import write_vector_txt
+
+    os.makedirs(outdir, exist_ok=True)
+    op = prob.hierarchy.finest
+    import jax.numpy as jnp
+
+    sol = np.asarray(op.to_logical(jnp.asarray(x_padded)))
+    exact = prob.exact
+    if prob.neumann:
+        sol = sol + (exact.mean() - sol.mean())
+    pts = prob.clouds[-1].points
+    for name, v in (("x", pts[:, 0]), ("y", pts[:, 1]), ("solution", sol),
+                    ("exact", exact), ("error", np.abs(sol - exact))):
+        write_vector_txt(v, os.path.join(outdir, f"{name}.txt"))
 
 
 def _ns(args):
@@ -214,6 +257,51 @@ def _sweep_sizes(geom, levels):
     from meshlessmultigridpoisson_tpu.config import REFERENCE_MG_SIZES
 
     return list(REFERENCE_MG_SIZES[geom][:levels])
+
+
+def _probe(args):
+    """Raw single-grid smoother convergence probe.
+
+    Parity with testGmshSingleGrid (testing_functions.cpp:422-479): one grid
+    (the finest size given), boundaryOp, then ``--sweeps`` SOR sweeps with
+    the per-sweep relative L1 residual recorded; final manufactured-solution
+    L1 error, plus an optional cond(A) estimate (write_l1error_cond,
+    testing_functions.cpp:316-327).
+    """
+    import numpy as np
+    from meshlessmultigridpoisson_tpu.models.poisson import (
+        make_poisson_problem, l1_error,
+    )
+    from meshlessmultigridpoisson_tpu.ops.smoothers import (
+        apply_dirichlet, condition_estimate, single_grid_probe,
+    )
+    from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
+
+    with Timer() as t_setup:
+        prob = make_poisson_problem(
+            args.geom, sizes=[max(args.sizes)], poly_deg=args.deg, k1=args.k,
+            neumann=args.neumann, seed=args.seed,
+        )
+    op = prob.hierarchy.finest
+    x0 = apply_dirichlet(op, prob.state0.x[-1], coarse=False)
+    rec = SolveRecord(
+        name=f"probe-{args.geom}",
+        config=dict(size=max(args.sizes), deg=args.deg, k=args.k,
+                    neumann=args.neumann, sweeps=args.sweeps),
+    )
+    with Timer() as t:
+        x, hist = single_grid_probe(op, x0, prob.state0.b[-1],
+                                    sweeps=args.sweeps)
+        hist = np.asarray(hist)
+    rec.wall_time_s = t.elapsed
+    rec.extra["setup_time_s"] = t_setup.elapsed
+    rec.residual_history = hist[:: max(1, len(hist) // 1000)].tolist()
+    rec.final_residual = float(hist[-1])
+    rec.cycles = args.sweeps
+    rec.l1_error = l1_error(prob, x)
+    if args.cond:
+        rec.extra["cond_L"] = condition_estimate(op)
+    return rec
 
 
 def _preprocess(args):

@@ -206,11 +206,21 @@ def condition_estimate(op) -> float:
 
     from meshlessmultigridpoisson_tpu.ops.ell import ell_to_csr
 
-    a = ell_to_csr(op.A).tocsc()
+    a = ell_to_csr(op.A).tolil()
+    # Dirichlet rows are pinned by the smoother (boundaryOp, grid.cpp:42-51),
+    # not relaxed — the solved system has identity rows there.
+    for j in _np.where(_np.asarray(op.dirichlet_mask)[: a.shape[0]] > 0)[0]:
+        a.rows[j] = [int(j)]
+        a.data[j] = [1.0]
+    a = a.tocsc()
     lu = _spla.splu(a + 1e-300 * _sp_eye(a.shape[0]))
     one_norm = _np.abs(a).sum(axis=0).max()
     inv_norm = _spla.onenormest(
-        _spla.LinearOperator(a.shape, matvec=lu.solve)
+        _spla.LinearOperator(
+            a.shape,
+            matvec=lu.solve,
+            rmatvec=lambda v: lu.solve(v, trans="T"),
+        )
     )
     return float(one_norm * inv_norm)
 
