@@ -213,6 +213,20 @@ def condition_estimate(op) -> float:
         a.rows[j] = [int(j)]
         a.data[j] = [1.0]
     a = a.tocsc()
+    if op.has_lagrange:
+        # the reference's matrix carries the Lagrange row/col + unit corner
+        # in the sparse matrix itself (grid.cpp:566-576); without it the
+        # Neumann operator is singular and the estimate meaningless
+        import scipy.sparse as _sp
+
+        n = a.shape[0]
+        col = _np.asarray(op.lag_col)[:n].reshape(-1, 1)
+        row = _np.asarray(op.lag_row)[:n].reshape(1, -1)
+        a = _sp.bmat(
+            [[a, _sp.csc_matrix(col)],
+             [_sp.csc_matrix(row), _sp.csc_matrix([[1.0]])]],
+            format="csc",
+        )
     lu = _spla.splu(a + 1e-300 * _sp_eye(a.shape[0]))
     one_norm = _np.abs(a).sum(axis=0).max()
     inv_norm = _spla.onenormest(
