@@ -235,7 +235,7 @@ def _sweep(args):
                     ns = argparse.Namespace(
                         geom=geom, sizes=_sweep_sizes(geom, lv), deg=deg, k=k,
                         neumann=True, seed=0, solver="bicgstab", tol=1e-8,
-                        cycles=None, out=None,
+                        cycles=None, out=None, write_solution=None,
                     )
                     t0 = time.time()
                     try:
@@ -244,12 +244,14 @@ def _sweep(args):
                     except Exception as e:  # record failures, keep sweeping
                         row = dict(name=f"poisson-{geom}", error=str(e))
                     row["elapsed"] = time.time() - t0
+                    row["config"] = dict(geom=geom, levels=lv, k=k, deg=deg)
                     results.append(row)
                     print(f"{geom} L{lv} k{k} deg{deg}: "
                           f"{row.get('l1_error', row.get('error'))}",
                           file=sys.stderr, flush=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+                    # rewrite after every config: long sweeps stay harvestable
+                    with open(args.out, "w") as f:
+                        json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
 
 
