@@ -27,6 +27,13 @@ from meshlessmultigridpoisson_tpu.ops.kernels import (
     spmv_tpu2,
     LANES,
 )
+from meshlessmultigridpoisson_tpu.ops.kernels4 import (
+    Ell4Unsupported,
+    build_oneshot_K,
+    prepare_kernel_ell4,
+    sor_sweep_tpu5,
+    spmv_tpu4,
+)
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
 
@@ -34,6 +41,8 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
     jax.tree_util.register_dataclass,
     data_fields=(
         "kell",
+        "kell4",
+        "kinvT",
         "bound_kell",
         "bound_rows",
         "bound_diag",
@@ -63,6 +72,8 @@ class TpuLevel:
     """All per-level data in kernel-ready f32 layouts."""
 
     kell: KernelEll2
+    kell4: object  # non-split KernelEll4 (v4 spmv + v5 sweep), or None
+    kinvT: object  # [nb, 128, 128] one-shot sweep matrices, or None
     bound_kell: KernelEll2  # Neumann rows, compact
     bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
     bound_diag: jnp.ndarray  # [mb_pad] f32
@@ -113,12 +124,30 @@ def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
 def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
     """Repack a CPU-built LevelOperator for TPU kernels (host-side)."""
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
+    # v5 path needs 8-row classes in natural order (lane//8) and a
+    # 128-row-aligned square operator; anything else falls back to v2.
+    kell4, kinvT = None, None
+    if op.class_size == 8:
+        try:
+            kell4 = prepare_kernel_ell4(op.A, dtype=dtype)
+            kinvT = jnp.asarray(
+                build_oneshot_K(
+                    op.A,
+                    op.omega * np.asarray(op.omega_scale),
+                    np.asarray(op.smooth_mask),
+                ),
+                dtype,
+            )
+        except Ell4Unsupported:
+            kell4, kinvT = None, None
     bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
     ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
     f = lambda v: jnp.asarray(np.asarray(v), dtype)
     return TpuLevel(
         kell=kell,
+        kell4=kell4,
+        kinvT=kinvT,
         bound_kell=bk,
         bound_rows=jnp.asarray(np.asarray(op.bound.rows)),
         bound_diag=f(op.bound.ell.diag),
@@ -162,7 +191,10 @@ def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
 
 
 def matvec(op: TpuLevel, x, x_lag):
-    y = spmv_tpu2(op.kell, x)
+    if op.kell4 is not None:
+        y = spmv_tpu4(op.kell4, x)
+    else:
+        y = spmv_tpu2(op.kell, x)
     if op.has_lagrange:
         y = y + op.lag_col * x_lag
         y_lag = jnp.vdot(op.lag_row, x) + x_lag
@@ -186,13 +218,21 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     iters = op.iters if iters is None else iters
     w = op.omega
     kell = op.kell
-    b3 = b.reshape(op.dinv3.shape)
     rows2d = kell.nrows_pad // LANES
     x2 = x.reshape(rows2d, LANES)
-    for _ in range(iters):
-        x2 = sor_sweep_tpu2(
+    if op.kell4 is not None:
+        r2 = lambda v: v.reshape(rows2d, LANES)
+        b2, lagc2 = r2(b), r2(op.lagc3)
+        sweep = lambda x2, x_lag: sor_sweep_tpu5(
+            op.kell4, op.kinvT, x2, x_lag, b2, lagc2
+        )
+    else:
+        b3 = b.reshape(op.dinv3.shape)
+        sweep = lambda x2, x_lag: sor_sweep_tpu2(
             kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
         )
+    for _ in range(iters):
+        x2 = sweep(x2, x_lag)
         x = x2.reshape(-1)
         if op.has_lagrange:
             x_lag = (1.0 - w) * x_lag + w * (b_lag - jnp.vdot(op.lag_row, x))

@@ -108,10 +108,12 @@ class KernelEll4:
 
 
 def _pick_mb(nb: int, want: int = 8) -> int:
-    for mb in (want, 4, 2, 1):
+    """Blocks per program.  Mosaic block specs need the sublane dim divisible
+    by 8 or equal to the whole array, so odd nb collapses to one program."""
+    for mb in (want, 4, 2):
         if nb % mb == 0:
             return mb
-    return 1
+    return nb
 
 
 def prepare_kernel_ell4(
@@ -146,8 +148,6 @@ def prepare_kernel_ell4(
         # padding entries (val 0) may point anywhere; keep them, they add 0
         abbT = np.zeros((1, 1, 1), dtype=np.float64)
 
-    gpb = LANES // GROUP  # 8 groups per block
-
     # ---- spatial grouping: cluster block rows by stencil centroid -----------
     # Real entries' mean global column is a 1-D proxy for the row's position
     # in KD-tile-ordered index space; 16-row runs of the centroid order are
@@ -157,93 +157,118 @@ def prepare_kernel_ell4(
     cent = np.where(
         wsum > 0, (gc * real).sum(axis=1) / np.maximum(wsum, 1), rows_glob[:, 0]
     )
-    # member_of[b, s] = row-local index of slot s in centroid order
-    member_of = np.empty((nb, LANES), dtype=np.int64)
+    # member_of[b, q] = row-local lane at group position q (centroid order)
+    member_of = np.argsort(cent.reshape(nb, LANES), axis=1, kind="stable")
     perm = np.empty((nb, LANES), dtype=np.int64)
-    for b in range(nb):
-        order = np.argsort(cent[b * LANES : (b + 1) * LANES], kind="stable")
-        member_of[b] = order
-        perm[b, order] = np.arange(LANES)  # row-local -> group lane
+    np.put_along_axis(
+        perm, member_of, np.broadcast_to(np.arange(LANES), (nb, LANES)), axis=1
+    )
 
-    # ---- pass 1: window allocation per (block, group) -----------------------
-    group_plists: list[list[np.ndarray]] = []
-    group_nw: list[list[np.ndarray]] = []
-    w_max = 1
-    for b in range(nb):
-        pls, nws = [], []
-        for gg in range(gpb):
-            rows = b * LANES + member_of[b, gg * GROUP : (gg + 1) * GROUP]
-            p, m = patches[rows], off_mask[rows]
-            if not m.any():
-                pls.append(np.zeros(1, dtype=np.int64))
-                nws.append(np.ones(1, dtype=np.int64))
-                continue
-            u = np.unique(p[m])
-            cnt = np.zeros((GROUP, u.size), dtype=np.int64)
-            lut = {pp: j for j, pp in enumerate(u)}
-            for r in range(GROUP):
-                for pp in p[r][m[r]]:
-                    cnt[r, lut[pp]] += 1
-            nw = np.maximum(-(-cnt.max(axis=0) // WIN), 1)
-            pls.append(u)
-            nws.append(nw)
-            w_max = max(w_max, int(nw.sum()))
-        group_plists.append(pls)
-        group_nw.append(nws)
-    W = int(w_max)
+    # Everything below works in "group space": row ``rnew`` is the row at
+    # group position rnew%128 of block rnew//128.
+    orig = (member_of + (np.arange(nb) * LANES)[:, None]).ravel()
+    w0 = gc.shape[1]
+    P = _round_up(ell.ncols, LANES) // LANES  # number of x patches
+    sel = off_mask[orig]
+    e_row = np.repeat(np.arange(n_pad, dtype=np.int64), w0).reshape(n_pad, w0)[sel]
+    e_pat = patches[orig][sel]
+    e_val = vv[orig][sel]
+    e_col = gc[orig][sel]
+
+    # sort entries by (row, patch); stable keeps original slot order
+    key = e_row * P + e_pat
+    o = np.argsort(key, kind="stable")
+    e_row, e_pat, e_val, e_col, key = (
+        e_row[o], e_pat[o], e_val[o], e_col[o], key[o])
+
+    # per-(row, patch) runs
+    run_start = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    run_len = np.diff(np.r_[run_start, key.size])
+    pos = np.arange(key.size) - np.repeat(run_start, run_len)  # slot-in-run
+    rp_row = e_row[run_start]
+    rp_pat = e_pat[run_start]
+
+    # per-(group, patch): window count = ceil(max member count / WIN).
+    # Runs are (row, patch)-sorted, so a (group, patch) key recurs once per
+    # member — re-sort runs by gp key before segmenting.
+    gp_key = (rp_row // GROUP) * P + rp_pat
+    og = np.argsort(gp_key, kind="stable")
+    gp_sorted = gp_key[og]
+    gp_start = np.flatnonzero(np.r_[True, gp_sorted[1:] != gp_sorted[:-1]])
+    gp_u = gp_sorted[gp_start]
+    gp_max = np.maximum.reduceat(run_len[og], gp_start)
+    nw = -(-gp_max // WIN)
+    gp_grp = gp_u // P
+    gp_pat = gp_u % P
+    gp_blk = gp_grp // (LANES // GROUP)
+
+    # per-group exclusive base offsets and per-block W
+    g_start = np.flatnonzero(np.r_[True, gp_grp[1:] != gp_grp[:-1]])
+    g_len = np.diff(np.r_[g_start, nw.size])
+    csum = np.cumsum(nw) - nw
+    base = csum - np.repeat(csum[g_start], g_len)
+    w_per_group = np.zeros(nb * (LANES // GROUP), dtype=np.int64)
+    w_per_group[gp_grp[g_start]] = np.add.reduceat(nw, g_start)
+    W = int(max(1, w_per_group.max()))
     T = 8 * W
 
-    # ---- pass 2: fill --------------------------------------------------------
+    # per-block patch table (sorted unique) and local patch ids
+    bp_key = gp_blk * P + gp_pat
+    bp_u = np.unique(bp_key)
+    b_of = bp_u // P
+    blk_start = np.flatnonzero(np.r_[True, b_of[1:] != b_of[:-1]])
+    per_blk = np.diff(np.r_[blk_start, bp_u.size])
+    if per_blk.size and per_blk.max() > GMAX:
+        raise Ell4Unsupported(
+            f"a block has {per_blk.max()} off-block patches > {GMAX}"
+        )
+    pids = np.zeros((nb, GMAX), dtype=np.int64)
+    loc = np.arange(bp_u.size) - np.repeat(blk_start, per_blk)
+    pids[b_of, loc] = bp_u % P
+    cnt_b = np.zeros(nb, dtype=np.int64)
+    cnt_b[b_of[blk_start]] = per_blk
+    col = np.arange(GMAX)
+    pids = np.where(col[None, :] < np.maximum(cnt_b, 1)[:, None],
+                    pids, pids[:, :1])
+    # local patch id of each (group, patch)
+    first_of_blk = np.zeros(nb, dtype=np.int64)
+    first_of_blk[b_of[blk_start]] = blk_start
+    hi_gp = np.searchsorted(bp_u, bp_key) - first_of_blk[gp_blk]
+
+    # ---- fill ----------------------------------------------------------------
     # Invariant required by the kernels' two-stage gather (sublane patch
     # select THEN lane gather): every [1,128] tile row reads exactly ONE
     # patch, so `hi` must be constant across ALL lanes of a tile row —
     # including padding slots (a real entry's lane gather may land on a
     # padding lane's sublane index).  `rowpat` records each tile row's
     # local patch id; padding lanes are back-filled with it below.
+    run_gp = np.searchsorted(gp_u, gp_key)
+    ent_run = np.repeat(np.arange(rp_row.size), run_len)
+    wloc = base[run_gp][ent_run] + pos // WIN
+    lane = (e_row % GROUP) * WIN + pos % WIN
+    trow = (e_row // LANES) * T + ((e_row // GROUP) % (LANES // GROUP)) * W + wloc
+
     vals4 = np.zeros((nb * T, LANES), dtype=np.float64)
     lcols4 = np.zeros((nb * T, LANES), dtype=np.int64)
     filled = np.zeros((nb * T, LANES), dtype=bool)
-    rowpat = np.zeros(nb * T, dtype=np.int64)
-    pids = np.zeros((nb, GMAX), dtype=np.int64)
-    for b in range(nb):
-        ub = np.unique(np.concatenate(group_plists[b]))
-        if ub.size > GMAX:
-            raise Ell4Unsupported(
-                f"block {b}: {ub.size} off-block patches > {GMAX}"
-            )
-        pids[b, : ub.size] = ub
-        pids[b, ub.size :] = ub[0]
-        lut_b = {pp: j for j, pp in enumerate(ub)}
-        for gg in range(gpb):
-            u, nw = group_plists[b][gg], group_nw[b][gg]
-            base = np.concatenate([[0], np.cumsum(nw)])[:-1]
-            used = int(nw.sum())
-            rowpat[b * T + gg * W : b * T + gg * W + used] = np.repeat(
-                np.array([lut_b[pp] for pp in u]), nw
-            )
-            for s in range(GROUP):
-                r = b * LANES + member_of[b, gg * GROUP + s]
-                sel = off_mask[r]
-                if not sel.any():
-                    continue
-                pr, cr, vr = patches[r][sel], gc[r][sel], vv[r][sel]
-                order = np.argsort(pr, kind="stable")
-                pr, cr, vr = pr[order], cr[order], vr[order]
-                uniq, start = np.unique(pr, return_index=True)
-                pos = np.arange(pr.size) - np.repeat(
-                    start, np.diff(np.concatenate([start, [pr.size]]))
-                )
-                prank = np.searchsorted(u, pr)
-                wloc = base[prank] + pos // WIN
-                trow = b * T + gg * W + wloc
-                lane = s * WIN + pos % WIN
-                hi = np.array([lut_b[pp] for pp in pr])
-                vals4[trow, lane] = vr
-                lcols4[trow, lane] = (hi << 7) | (cr & 127)
-                filled[trow, lane] = True
+    vals4[trow, lane] = e_val
+    lcols4[trow, lane] = (hi_gp[run_gp][ent_run] << 7) | (e_col & (LANES - 1))
+    filled[trow, lane] = True
 
+    rowpat = np.zeros(nb * T, dtype=np.int64)
+    segpos = np.arange(int(nw.sum())) - np.repeat(csum, nw)  # window idx in gp
+    t0 = gp_blk * T + (gp_grp % (LANES // GROUP)) * W + base
+    rows_idx = np.repeat(t0, nw) + segpos
+    rowpat[rows_idx] = np.repeat(hi_gp, nw)
     lcols4 = np.where(filled, lcols4, rowpat[:, None] << 7)
 
+    mb_eff = _pick_mb(nb, mb)
+    # mb == nb streams every block's tables into VMEM at once; keep a lid on it
+    if mb_eff == nb and nb * T * LANES * 8 > 16 << 20:
+        raise Ell4Unsupported(
+            f"odd block count {nb} with T={T} exceeds the single-program "
+            "VMEM budget"
+        )
     return KernelEll4(
         vals_flat=jnp.asarray(vals4, dtype),
         lcols_flat=jnp.asarray(lcols4.astype(np.int32)),
@@ -254,7 +279,7 @@ def prepare_kernel_ell4(
         ncols=ell.ncols,
         windows=W,
         nrows_pad=n_pad,
-        mb=_pick_mb(nb, mb),
+        mb=mb_eff,
     )
 
 
@@ -498,6 +523,147 @@ def sor_sweep_tpu4(
         b2,
         mask2,
         omega2,
+        lagc2,
+        x2,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v5 sweep — one-shot in-block SOR step: x += K (b - A x - lag), K dense
+# ---------------------------------------------------------------------------
+#
+# One (block, class, slot) GS sweep is linear in the block state: with
+# M = D/omega + L (L = strictly-lower class-block part of the in-block
+# coupling), the sweep is exactly  x_new = x + M^{-1} (b - A x_old)  where
+# A x_old reads pre-sweep in-block values and fresh earlier-block values
+# (reference semantics, grid.cpp:104-146).  K = M^{-1} is precomputed dense
+# per 128-row block in f64 at setup, with non-smoothed rows (Dirichlet /
+# Neumann, grid.cpp:118) zeroed so they never move and never contribute a
+# correction.  The kernel then needs ONE full-row gather (the same
+# non-split window tables the v4 SpMV uses) and ONE [1,128]x[128,128] MXU
+# matvec per block — no 16-step class chain, no dinv/mask/omega vectors.
+
+
+def build_oneshot_K(
+    ell: EllMatrix,
+    omega_row: np.ndarray,
+    smooth_mask: np.ndarray,
+    class_size: int = 8,
+) -> np.ndarray:
+    """[nb, 128, 128] transposed one-shot matrices K^T (f64 host math)."""
+    n_pad = ell.nrows_pad
+    nb = n_pad // LANES
+    gc = np.asarray(global_cols(ell)).astype(np.int64)
+    vv = np.asarray(ell.vals, dtype=np.float64)
+    diag = np.asarray(ell.diag, dtype=np.float64)
+    w = np.ones(n_pad)
+    w[: omega_row.shape[0]] = np.asarray(omega_row, dtype=np.float64)
+    m = np.zeros(n_pad, dtype=bool)
+    m[: smooth_mask.shape[0]] = np.asarray(smooth_mask) > 0
+
+    rows = np.arange(n_pad)[:, None]
+    own = (gc >> 7) == (rows >> 7)
+    in_mask = own & (gc != rows)
+    abb = np.zeros((nb, LANES, LANES))
+    bi, wi = np.nonzero(in_mask)
+    abb[bi >> 7, bi & 127, gc[bi, wi] & 127] += vv[bi, wi]
+
+    lane = np.arange(LANES)
+    lower = (lane[:, None] // class_size) > (lane[None, :] // class_size)
+    m2 = m.reshape(nb, LANES)
+    M = abb * lower[None] * m2[:, :, None] * m2[:, None, :]
+    M[:, lane, lane] = np.where(
+        m2, diag.reshape(nb, LANES) / np.maximum(w.reshape(nb, LANES), 1e-30),
+        1.0,
+    )
+    K = np.linalg.inv(M)
+    K *= m2[:, :, None]  # masked rows never move
+    return K.transpose(0, 2, 1).copy()  # transposed for [1,128] @ [128,128]
+
+
+def _sweep5_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
+                   kinvT_ref, selr2_ref, gmask_ref, ones_ref, b_ref,
+                   lagc_ref, x_in_ref, x_out_ref, scratch, *, t, mb):
+    i = pl.program_id(0)
+    xlag = xlag_ref[0]
+
+    @pl.when(i == _i32(0))
+    def _():
+        x_out_ref[...] = x_in_ref[...]
+
+    for j in range(mb):
+        bi = i * mb + j
+        for k in range(GMAX):
+            scratch[k, :] = x_out_ref[pid_ref[bi * GMAX + k], :]
+        y_grp = _gather_block(
+            scratch[...],
+            lcols_ref[j * t : (j + 1) * t, :],
+            vals_ref[j * t : (j + 1) * t, :],
+            selr2_ref[...], gmask_ref[...], ones_ref[...],
+        )
+        y = _lane_gather(y_grp, perm_ref[pl.ds(j, 1), :])
+        tvec = b_ref[pl.ds(j, 1), :] - y - lagc_ref[pl.ds(j, 1), :] * xlag
+        dx = jnp.dot(tvec, kinvT_ref[j, :, :],
+                     preferred_element_type=tvec.dtype,
+                     precision=lax.Precision.HIGHEST)
+        x_out_ref[pl.ds(bi, 1), :] = x_out_ref[pl.ds(bi, 1), :] + dx
+
+
+def sor_sweep_tpu5(
+    kell: KernelEll4,   # NON-split (full-row windows, shared with spmv_tpu4)
+    kinvT: jnp.ndarray,  # [nb, 128, 128] from build_oneshot_K
+    x2: jnp.ndarray,     # [nblocks, 128]
+    x_lag: jnp.ndarray,
+    b2: jnp.ndarray,
+    lagc2: jnp.ndarray,
+) -> jnp.ndarray:
+    """One exact (block, class)-GS sweep via the one-shot dense step."""
+    assert not kell.split, "v5 uses full-row windows; in-block lives in K"
+    dtype = kell.vals_flat.dtype
+    t, mb, nb = kell.tiles_per_block, kell.mb, kell.nblocks
+    selr2 = jnp.asarray(_selr2(np.dtype(dtype)))
+    gmask = jnp.asarray(_gmask(t, kell.windows, np.dtype(dtype)))
+    ones_t = jnp.ones((1, t), dtype)
+    z2 = lambda i, ws: (np.int32(0),) * 2
+    rowspec = pl.BlockSpec((mb, LANES), lambda i, ws: (i, np.int32(0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb // mb,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i, ws: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((mb * t, LANES), lambda i, ws: (i, np.int32(0))),
+            pl.BlockSpec((mb * t, LANES), lambda i, ws: (i, np.int32(0))),
+            rowspec,
+            pl.BlockSpec((mb, LANES, LANES),
+                         lambda i, ws: (i, np.int32(0), np.int32(0))),
+            pl.BlockSpec((LANES, LANES), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, LANES), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), z2, memory_space=pltpu.VMEM),
+            rowspec,
+            rowspec,
+            pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GMAX, LANES), dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_sweep5_kernel, t=t, mb=mb),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={10: 0},
+    )(
+        kell.pids,
+        jnp.asarray([x_lag], dtype),
+        kell.vals_flat,
+        kell.lcols_flat,
+        kell.perm,
+        jnp.asarray(kinvT, dtype),
+        selr2,
+        gmask,
+        ones_t,
+        b2,
         lagc2,
         x2,
     )

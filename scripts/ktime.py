@@ -144,6 +144,18 @@ def main():
         devloop_time(sweep4_step, x2b, iters, label="  sweep v4", nnz=nnz,
                      consts=(k4sd,) + a2)
 
+        with on_cpu():
+            kinvT = K4.build_oneshot_K(
+                ell, np.full(np_, 1.4), np.ones(np_))
+        kinvT_d = jax.device_put(jnp.asarray(kinvT, jnp.float32), dev)
+
+        def sweep5_step(xx, kd, kT, bb, ll):
+            return K4.sor_sweep_tpu5(kd, kT, xx, jnp.zeros((), jnp.float32),
+                                     bb, ll)
+
+        devloop_time(sweep5_step, x2b, iters, label="  sweep v5", nnz=nnz,
+                     consts=(k4d, kinvT_d, a2[1], a2[4]))
+
 
 if __name__ == "__main__":
     sys.path.insert(0, ".")

@@ -118,3 +118,42 @@ def test_split_inblock_partition(pattern):
     y_in = np.einsum("bj,bij->bi", x2, abbT.transpose(0, 2, 1)).reshape(-1)[:n]
     d = np.asarray(ell.diag)[:n]
     assert np.allclose(y_off + y_in + d * x0, pattern @ x0, atol=1e-10)
+
+
+def test_oneshot_K_matches_stepwise_gs(pattern):
+    """v5: x += K (b - A x) equals the explicit (block, class) GS sweep."""
+    n = pattern.shape[0]
+    ell = ell_from_csr(pattern, block_rows=128)
+    n_pad = ell.nrows_pad
+    a = sp.csr_matrix(pattern, copy=True)
+    a.resize((n_pad, n_pad))
+    ad = a.toarray()
+    np.fill_diagonal(ad, np.where(np.diag(ad) == 0, 1.0, np.diag(ad)))
+    d = np.diag(ad)
+
+    rng = np.random.default_rng(9)
+    w = 1.4 * rng.uniform(0.5, 1.0, n_pad)
+    mask = rng.uniform(size=n_pad) > 0.1
+    mask[n:] = False
+    b = rng.standard_normal(n_pad)
+    x0 = rng.standard_normal(n_pad)
+
+    # stepwise (block=128, class=8) GS, reference semantics
+    x_ref = x0.copy()
+    for blk in range(n_pad // 128):
+        for c in range(16):
+            rows = np.arange(blk * 128 + c * 8, blk * 128 + (c + 1) * 8)
+            y = ad[rows] @ x_ref
+            xi = (1 - w[rows]) * x_ref[rows] + (w[rows] / d[rows]) * (
+                b[rows] - y + d[rows] * x_ref[rows]
+            )
+            x_ref[rows] = np.where(mask[rows], xi, x_ref[rows])
+
+    K_T = K4.build_oneshot_K(ell, w, mask.astype(np.float64))
+    x_new = x0.copy()
+    for blk in range(n_pad // 128):
+        rows = slice(blk * 128, (blk + 1) * 128)
+        t = b[rows] - ad[rows] @ x_new
+        x_new[rows] = x_new[rows] + t @ K_T[blk]
+
+    assert np.allclose(x_new, x_ref, atol=1e-10)
