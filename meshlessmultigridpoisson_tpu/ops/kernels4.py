@@ -652,7 +652,7 @@ def sor_sweep_tpu5(
         functools.partial(_sweep5_kernel, t=t, mb=mb),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         grid_spec=grid_spec,
-        input_output_aliases={10: 0},
+        input_output_aliases={11: 0},
     )(
         kell.pids,
         jnp.asarray([x_lag], dtype),
