@@ -1,15 +1,19 @@
 """Benchmark harness (driver contract: prints ONE JSON line to stdout).
 
-Measures the framework's hot kernel — the fused windowed-ELL smoother sweep
-(the inner loop of every solve, reference grid.cpp:104-146) — on a
-1M-point, 70-wide RBF-FD-like operator (BASELINE.json config 3 scale) on
-the available accelerator, plus the SpMV kernel and the naive XLA-gather
-SpMV baseline (what a direct port of the reference's CSR loop lowers to on
-TPU).
+Measures the framework's hot kernels — the fused one-shot SOR sweep and the
+windowed-ELL SpMV (the inner loop of every solve, reference
+grid.cpp:104-146) — on a 1M-point, 70-wide RBF-FD-like operator
+(BASELINE.json config 3 scale) on the TPU, against:
+  * a pure-stream Pallas kernel on the same device (the achievable HBM
+    roofline for this access pattern — extra["stream_gb_s"]), and
+  * the naive XLA-gather SpMV (what a direct port of the reference's CSR
+    loop lowers to on TPU) — vs_baseline.
 
-vs_baseline = smoother throughput / XLA-gather-SpMV throughput on the same
-operator (per-nnz), i.e. the speedup of the TPU-native design over the
-naive port.  All other diagnostics go to stderr.
+Timing methodology: the tunnel/dispatch overhead of a single jitted call
+scales with buffer sizes (tens of ms), so every op is timed as the DELTA
+between k-chained and 1 application inside one jit, each returning a tiny
+output (scripts/chaintime.py).  That is also the real usage pattern: solver
+sweeps run back-to-back on device inside one jit.
 """
 
 import json
@@ -39,22 +43,10 @@ def synthetic_banded_csr(n, k, band, seed=0):
     return a
 
 
-def timeit(f, *args, reps=20):
-    """Median-of-three timing; every rep fully materializes its result
-    (np.asarray forces a device fetch — block_until_ready alone has been
-    observed not to fence execution through the axon tunnel)."""
-    y = f(*args)
-    jax_block(y)
-    np.asarray(jax_leaf(y))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = f(*args)
-        jax_block(y)
-        np.asarray(jax_leaf(y))
-        times.append((time.perf_counter() - t0) / reps)
-    return sorted(times)[1]
+# --------------------------------------------------------------------------
+# timing: chained-delta (see module docstring); retained names `timeit`,
+# `jax_block`, `jax_leaf` are used by scripts/.
+# --------------------------------------------------------------------------
 
 
 def jax_leaf(y):
@@ -72,6 +64,87 @@ def jax_block(y):
     )
 
 
+def timeit(f, *args, reps=20):
+    """Single-call timing (kept for scripts that need it; includes the
+    per-call tunnel overhead — prefer chain_delta for kernel numbers)."""
+    y = f(*args)
+    jax_block(y)
+    np.asarray(jax_leaf(y))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(*args)
+        jax_block(y)
+        np.asarray(jax_leaf(y))
+        times.append((time.perf_counter() - t0) / reps)
+    return sorted(times)[1]
+
+
+def _med_call(f, *args, reps=5):
+    np.asarray(jax_leaf(f(*args)))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(jax_leaf(f(*args)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def chain_delta(op, x0, *sa, k=16):
+    """Per-op time from (T(k_chained) - T(1)) / (k-1), tiny output."""
+    import jax
+
+    def make(n):
+        def f(x, *s):
+            y = op(x, *s)
+            for _ in range(n - 1):
+                y = op(y * 1.0000001, *s)
+            return y.reshape(-1)[:128]
+        return jax.jit(f)
+
+    t1 = _med_call(make(1), x0, *sa)
+    tk = _med_call(make(k), x0, *sa)
+    return max(tk - t1, 1e-9) / (k - 1)
+
+
+def stream_ceiling():
+    """Achievable HBM GB/s for the kernels' access pattern: a Pallas grid
+    streaming f32+i32 tables with a trivial reduce, re-streamed k times
+    inside one call (grid dimension), delta-timed."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    LANES, tpp, tiles = 128, 4096, 1 << 18  # 256 MB of tables
+
+    def kern(v_ref, c_ref, o_ref):
+        s = jnp.sum(v_ref[...], axis=0, keepdims=True) + jnp.sum(
+            c_ref[...], axis=0, keepdims=True, dtype=jnp.int32
+        ).astype(jnp.float32)
+        o_ref[...] = jnp.broadcast_to(s, o_ref.shape)
+
+    def make(k):
+        grid = tiles // tpp
+        return jax.jit(pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((grid * 8, LANES), jnp.float32),
+            grid=(k, grid),
+            in_specs=[
+                pl.BlockSpec((tpp, LANES), lambda r, i: (i, np.int32(0))),
+                pl.BlockSpec((tpp, LANES), lambda r, i: (i, np.int32(0))),
+            ],
+            out_specs=pl.BlockSpec((8, LANES), lambda r, i: (i, np.int32(0))),
+        ))
+
+    v = jnp.ones((tiles, LANES), jnp.float32)
+    c = jnp.ones((tiles, LANES), jnp.int32)
+    t1 = _med_call(make(1), v, c)
+    tk = _med_call(make(9), v, c)
+    dt = max(tk - t1, 1e-9) / 8
+    return tiles * LANES * 8 / dt / 1e9
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -79,69 +152,67 @@ def main():
     jax.config.update("jax_enable_x64", True)
     from meshlessmultigridpoisson_tpu.utils.jaxutils import on_cpu
 
-    # near-diagonal band mimics the KD-tile patch locality of real ordered
-    # operators (measured G ~ 9-12 patches/block independent of N)
     n, k, band = 1_048_576, 70, 512
     log(f"building synthetic operator n={n} k={k} band={band}")
     with on_cpu():
         from meshlessmultigridpoisson_tpu.ops.ell import ell_from_csr, global_cols
-        from meshlessmultigridpoisson_tpu.ops.kernels import (
-            prepare_kernel_ell2 as prepare_kernel_ell,
-            spmv_tpu2 as spmv_tpu,
-            sor_sweep_tpu2 as sor_sweep_tpu,
-            LANES,
-        )
+        from meshlessmultigridpoisson_tpu.ops import kernels6 as k6
+        from meshlessmultigridpoisson_tpu.ops.kernels4 import build_oneshot_K
 
         a = synthetic_banded_csr(n, k, band)
         ell = ell_from_csr(a, block_rows=128)
-        kell = prepare_kernel_ell(ell)
+        kell = k6.prepare_kernel_ell6(ell)
+        kinvT = k6.pack_oneshot_K6(
+            kell,
+            build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad)),
+        )
         x0 = np.random.default_rng(1).standard_normal(ell.nrows_pad)
-        diag = np.asarray(ell.diag)
 
     dev = jax.devices()[0]
-    log(f"device: {dev}; kp={kell.width} patches/block={kell.num_patches}")
+    nnz = n * k
+    tb = kell.table_bytes
+    kb = sum(kk.size * kk.dtype.itemsize for kk in kinvT)
+    log(f"device: {dev}; v6 segments={[(s.windows, s.nblocks) for s in kell.segments]}"
+        f" table={tb/1e6:.0f}MB K={kb/1e6:.0f}MB")
     kd = jax.device_put(kell, dev)
+    kvd = jax.device_put(kinvT, dev)
     xd = jax.device_put(jnp.asarray(x0, jnp.float32), dev)
-    nnz = n * k  # logical nnz (pad excluded)
+
+    # --- achievable-bandwidth ceiling on this device ---
+    stream_gb = stream_ceiling()
+    log(f"pure-stream ceiling: {stream_gb:.0f} GB/s")
 
     # --- Pallas SpMV (with correctness spot check) ---
-    spmv_j = jax.jit(spmv_tpu)
-    y = np.asarray(spmv_j(kd, xd))
+    y = np.asarray(jax.jit(lambda xx, kk: k6.spmv_tpu6(kk, xx))(xd, kd))[:4096]
     with on_cpu():
         from meshlessmultigridpoisson_tpu.ops.ell import spmv as spmv_ref
 
-        yref = np.asarray(spmv_ref(ell, jnp.asarray(x0)))[: 4096]
-    err = np.abs(y[:4096] - yref).max() / np.abs(yref).max()
+        yref = np.asarray(spmv_ref(ell, jnp.asarray(x0)))[:4096]
+    err = np.abs(y - yref).max() / np.abs(yref).max()
     log(f"spmv spot-check rel err vs f64: {err:.2e}")
     assert err < 1e-4, "TPU SpMV kernel mismatch"
-    dt_spmv = timeit(spmv_j, kd, xd)
-    log(f"pallas spmv: {dt_spmv*1e3:.3f} ms  {nnz/dt_spmv/1e9:.2f} Gnnz/s")
+    dt_spmv = chain_delta(
+        lambda xx, kk: k6.spmv_tpu6(kk, xx)[: ell.nrows_pad], xd, kd)
+    spmv_gb = tb / dt_spmv / 1e9
+    log(f"pallas spmv: {dt_spmv*1e3:.3f} ms  {nnz/dt_spmv/1e9:.2f} Gnnz/s  "
+        f"{spmv_gb:.0f} GB/s ({100*spmv_gb/stream_gb:.0f}% of stream)")
 
-    # --- Pallas SOR sweep (the hot solver op) ---
-    nb = kell.nrows_pad // kell.block_rows
-    r3 = lambda v: jax.device_put(
-        jnp.asarray(
-            np.asarray(v, np.float32).reshape(nb, kell.block_rows // LANES, LANES)
-        ),
-        dev,
-    )
-    dinv3 = r3(1.0 / diag)
-    b3 = r3(np.random.default_rng(2).standard_normal(kell.nrows_pad))
-    mask3 = r3(np.ones(kell.nrows_pad))
-    omega3 = r3(np.full(kell.nrows_pad, 1.4))
-    lagc3 = r3(np.zeros(kell.nrows_pad))
-    xr = kell.x_rows
-    x2 = jnp.zeros((xr, LANES), jnp.float32)
-    x2 = x2.at[:xr].set(xd[: xr * LANES].reshape(xr, LANES))
-    x2 = jax.device_put(x2, dev)
+    # --- Pallas one-shot SOR sweep (the hot solver op) ---
+    nb = kell.nblocks
+    LANES = 128
+    b2 = jax.device_put(jnp.asarray(
+        np.random.default_rng(2).standard_normal((nb, LANES)), jnp.float32), dev)
+    lagc2 = jax.device_put(jnp.zeros((nb, LANES), jnp.float32), dev)
+    x2 = xd[: nb * LANES].reshape(nb, LANES)
 
-    sweep_j = jax.jit(
-        lambda kk, xx, dd, bb, mm, ww, ll: sor_sweep_tpu(
-            kk, xx, jnp.zeros((), jnp.float32), dd, bb, mm, ww, ll
-        )
-    )
-    dt_sweep = timeit(sweep_j, kd, x2, dinv3, b3, mask3, omega3, lagc3)
-    log(f"pallas sweep: {dt_sweep*1e3:.3f} ms  {nnz/dt_sweep/1e9:.2f} Gnnz/s")
+    dt_sweep = chain_delta(
+        lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
+            kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+        x2, kd, kvd, b2)
+    sweep_gb = (tb + kb) / dt_sweep / 1e9
+    log(f"pallas sweep: {dt_sweep*1e3:.3f} ms  {nnz/dt_sweep/1e9:.2f} Gnnz/s  "
+        f"{sweep_gb:.0f} GB/s ({100*sweep_gb/stream_gb:.0f}% of stream)")
 
     # --- naive XLA gather SpMV baseline (direct port of the CSR loop) ---
     with on_cpu():
@@ -151,7 +222,9 @@ def main():
     gcd = jax.device_put(gc[:n_base], dev)
     vd = jax.device_put(vals32[:n_base], dev)
 
-    @jax.jit
+    import jax as _jax
+
+    @_jax.jit
     def xla_spmv(v, c, x):
         return jnp.sum(v * jnp.take(x, c, axis=0), axis=1)
 
@@ -168,10 +241,16 @@ def main():
         "vs_baseline": round(sweep_nnz_s / xla_nnz_s, 1),
         "extra": {
             "spmv_gnnz_s": round(nnz / dt_spmv / 1e9, 3),
+            "spmv_gb_s": round(spmv_gb, 1),
+            "sweep_gb_s": round(sweep_gb, 1),
+            "stream_gb_s": round(stream_gb, 1),
+            "spmv_pct_of_stream": round(100 * spmv_gb / stream_gb, 1),
+            "sweep_pct_of_stream": round(100 * sweep_gb / stream_gb, 1),
             "xla_gather_spmv_gnnz_s": round(xla_nnz_s / 1e9, 3),
             "device": str(dev),
             "n": n,
             "k": k,
+            "kernels": "v6 segment-ragged + one-shot GS",
         },
     }
     print(json.dumps(result), flush=True)

@@ -264,6 +264,7 @@ int64_t fg_block_color(
   std::vector<int64_t> counts((size_t)nc);
   std::vector<uint8_t> used((size_t)nc);
   int64_t conflicts = 0;
+  int64_t block_conflicts = 0;
 
   for (int64_t s = 0; s < n; s += block_rows) {
     int64_t e = std::min(s + block_rows, n);
@@ -284,15 +285,126 @@ int64_t fg_block_color(
           best_cnt = counts[(size_t)c];
         }
       if (best < 0) {
-        for (int64_t c = 0; c < nc; c++)
-          if (counts[(size_t)c] < cap && counts[(size_t)c] < best_cnt) {
-            best = c;
-            best_cnt = counts[(size_t)c];
+        // repair: find a class c with space whose conflict with row i can
+        // be resolved by relocating one earlier member j to another class
+        // where j itself has no conflicts and space remains.
+        for (int64_t c = 0; c < nc && best < 0; c++) {
+          if (counts[(size_t)c] >= cap) continue;
+          // members of c conflicting with i
+          int64_t bad = -1, nbad = 0;
+          for (int64_t p = indptr[s + i]; p < indptr[s + i + 1]; p++) {
+            int64_t j = indices[p] - s;
+            if (j >= 0 && j < i && colors[(size_t)j] == c) {
+              bad = j;
+              nbad++;
+            }
           }
-        conflicts++;
+          if (nbad != 1) continue;  // single-conflict classes only
+          // where can `bad` go?  needs: space, no conflict for bad, and
+          // not class c
+          std::fill(used.begin(), used.end(), 0);
+          for (int64_t p = indptr[s + bad]; p < indptr[s + bad + 1]; p++) {
+            int64_t j = indices[p] - s;
+            if (j >= 0 && j < nb && j != bad && colors[(size_t)j] >= 0)
+              used[(size_t)colors[(size_t)j]] = 1;
+          }
+          for (int64_t c2 = 0; c2 < nc; c2++) {
+            if (c2 == c || used[(size_t)c2] || counts[(size_t)c2] >= cap)
+              continue;
+            colors[(size_t)bad] = c2;
+            counts[(size_t)c2]++;
+            counts[(size_t)c]--;
+            best = c;
+            break;
+          }
+        }
+        if (best < 0) {
+          // recompute i's conflict set (used[] was clobbered above)
+          std::fill(used.begin(), used.end(), 0);
+          for (int64_t p = indptr[s + i]; p < indptr[s + i + 1]; p++) {
+            int64_t j = indices[p] - s;
+            if (j >= 0 && j < i) used[(size_t)colors[(size_t)j]] = 1;
+          }
+          // last resort: least-conflicted class with space
+          int64_t best_conf = block_rows + 1;
+          for (int64_t c = 0; c < nc; c++) {
+            if (counts[(size_t)c] >= cap) continue;
+            int64_t nconf = 0;
+            for (int64_t p = indptr[s + i]; p < indptr[s + i + 1]; p++) {
+              int64_t j = indices[p] - s;
+              if (j >= 0 && j < i && colors[(size_t)j] == c) nconf++;
+            }
+            if (nconf < best_conf ||
+                (nconf == best_conf && counts[(size_t)c] < best_cnt)) {
+              best = c;
+              best_conf = nconf;
+              best_cnt = counts[(size_t)c];
+            }
+          }
+          conflicts += best_conf;
+        }
       }
       colors[(size_t)i] = best;
       counts[(size_t)best]++;
+    }
+    // ---- equitable-swap post-pass -------------------------------------
+    // Hajnal-Szemeredi: an equitable nc-coloring exists whenever the
+    // in-block degree is < nc, so a local search over (conflicted row,
+    // partner row) swaps removes almost every greedy spill; only rows
+    // whose in-block degree reaches nc (condensation-widened Neumann
+    // neighborhoods) can remain, and those are counted below.
+    {
+      auto conf_as = [&](int64_t i, int64_t c, int64_t skip) -> int64_t {
+        int64_t n = 0;
+        for (int64_t p = indptr[s + i]; p < indptr[s + i + 1]; p++) {
+          int64_t j = indices[p] - s;
+          if (j >= 0 && j < nb && j != i && j != skip &&
+              colors[(size_t)j] == c)
+            n++;
+        }
+        return n;
+      };
+      for (int pass = 0; pass < 8; pass++) {
+        bool improved = false;
+        for (int64_t i = 0; i < nb; i++) {
+          int64_t ci = colors[(size_t)i];
+          int64_t bad = conf_as(i, ci, -1);
+          if (bad == 0) continue;
+          // direct move into a class with space
+          bool done = false;
+          for (int64_t c2 = 0; c2 < nc && !done; c2++) {
+            if (c2 == ci || counts[(size_t)c2] >= cap) continue;
+            if (conf_as(i, c2, -1) == 0) {
+              colors[(size_t)i] = c2;
+              counts[(size_t)c2]++;
+              counts[(size_t)ci]--;
+              improved = done = true;
+            }
+          }
+          // swap with a partner row j
+          for (int64_t j = 0; j < nb && !done; j++) {
+            int64_t cj = colors[(size_t)j];
+            if (cj == ci) continue;
+            if (conf_as(i, cj, j) == 0 &&
+                conf_as(j, ci, i) == 0) {
+              colors[(size_t)i] = cj;
+              colors[(size_t)j] = ci;
+              improved = done = true;
+            }
+          }
+        }
+        if (!improved) break;
+      }
+      // recount this block's residual conflicting pairs (each pair once);
+      // the greedy-phase spill counts are superseded by this exact count
+      int64_t blk_conf = 0;
+      for (int64_t i = 0; i < nb; i++)
+        for (int64_t p = indptr[s + i]; p < indptr[s + i + 1]; p++) {
+          int64_t j = indices[p] - s;
+          if (j > i && j < nb && colors[(size_t)j] == colors[(size_t)i])
+            blk_conf++;
+        }
+      block_conflicts += blk_conf;
     }
     // stable class-major order
     std::vector<int64_t> order((size_t)nb);
@@ -303,7 +415,8 @@ int64_t fg_block_color(
                      });
     for (int64_t i = 0; i < nb; i++) perm[s + i] = s + order[(size_t)i];
   }
-  return conflicts;
+  (void)conflicts;  // greedy spill counter superseded by the exact recount
+  return block_conflicts;
 }
 
 }  // extern "C"

@@ -1,0 +1,151 @@
+"""Mixed-precision on-device solves: f64 defect correction over f32 kernels.
+
+The reference converges its solves in f64 to 1e-8/1e-10 relative L1
+(FractionalStepSim.cpp:139,202).  TPU Pallas kernels are f32-only (Mosaic
+has no f64), which floors a pure-kernel solve near 1e-6.  XLA:TPU *does*
+emulate f64 for elementwise/gather ops (measured 1e-15 accurate on this
+v5e, ~9 ms per 10k x 70 gather-SpMV) — slow per-nnz but exact.  This module
+composes the two:
+
+    outer (f64, XLA-emulated on TPU):   r = b - A x      [exact residual]
+    inner (f32, Pallas TpuLevel path):  solve A e ~= r   [fast BiCGStab]
+    x <- x + e, repeat until ||r||_1 / ||b||_1 < tol
+
+Each outer pass multiplies the residual by the inner tolerance, so 2-3
+passes reach 1e-10 — the entire loop runs on-device inside one jit.  The
+f64 operator is the CPU-built LevelOperator moved to the TPU (utils.
+to_device_tree); the f32 hierarchy is the usual mg/tpu_backend repack.
+
+This is the production path to reference tolerances on TPU for both the
+Poisson solves (apps/cli solve --backend tpu) and the fractional-step PPE
+(models/fracstep, PPE tol 1e-10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
+from meshlessmultigridpoisson_tpu.mg.vcycle import Hierarchy, MGState, init_like
+from meshlessmultigridpoisson_tpu.ops import smoothers as sm
+
+
+def defect_hierarchy(hier32: Hierarchy) -> Hierarchy:
+    """Inner hierarchy for defect solves: fine Dirichlet pin values zeroed
+    (the error at pinned rows is 0, not g)."""
+    fine = hier32.levels[-1]
+    fine0 = dataclasses.replace(
+        fine, dirichlet_values=jnp.zeros_like(fine.dirichlet_values)
+    )
+    return Hierarchy(
+        levels=hier32.levels[:-1] + (fine0,),
+        restrict=hier32.restrict,
+        prolong=hier32.prolong,
+    )
+
+
+def _full_matvec64(op64, x, xl, matvec64=None):
+    """Bordered f64 matvec with Dirichlet identity rows."""
+    if matvec64 is not None:
+        y, yl = matvec64(x, xl)
+    else:
+        y, yl = sm.matvec(op64, x, xl)
+    y = jnp.where(op64.dirichlet_mask > 0, x, y)
+    if not op64.has_lagrange:
+        yl = xl
+    return y, yl
+
+
+@partial(jax.jit, static_argnames=(
+    "max_outer", "inner_iters", "matvec64", "matvec32"))
+def solve_mixed(
+    op64,
+    hier32_defect: Hierarchy,
+    x0,
+    xl0,
+    b,
+    bl,
+    tol=1e-10,
+    inner_tol=1e-5,
+    inner_iters: int = 60,
+    max_outer: int = 20,
+    matvec64=None,
+    matvec32=None,
+):
+    """Defect-corrected solve of the bordered fine system to f64 tolerance.
+
+    op64: f64 LevelOperator (device-resident; XLA-emulated f64 matvec).
+    hier32_defect: ``defect_hierarchy(tpu_hierarchy(...))`` — f32 inner.
+    matvec64/matvec32 optionally replace the outer/inner fine operator
+    (e.g. the matrix-free compatible PPE, models/fracstep).
+
+    Returns (x64, xl64, outer_iters, rel_residual).
+    """
+    fine_i = len(hier32_defect.levels) - 1
+    op32 = hier32_defect.levels[fine_i]
+    b = b.astype(jnp.float64)
+    bl = jnp.asarray(bl, jnp.float64)
+    b = jnp.where(op64.dirichlet_mask > 0, op64.dirichlet_values, b)
+    bnorm = jnp.sum(jnp.abs(b)) + jnp.abs(bl)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def residual(x, xl):
+        ax, axl = _full_matvec64(op64, x, xl, matvec64)
+        return b - ax, bl - axl
+
+    def inner(r, rl):
+        """f32 defect solve A e ~= r, normalized for f32 dynamic range."""
+        rn = jnp.sum(jnp.abs(r)) + jnp.abs(rl)
+        rs = jnp.where(rn == 0, 1.0, rn)
+        st = init_like(hier32_defect)
+        st = st.replace_level(
+            fine_i,
+            b=(r / rs).astype(jnp.float32),
+            b_lag=(rl / rs).astype(jnp.float32),
+        )
+        st, _, _ = solve_bicgstab(
+            hier32_defect, st, tol=inner_tol, max_iters=inner_iters,
+            matvec=matvec32,
+        )
+        return (st.x[fine_i].astype(jnp.float64) * rs,
+                st.x_lag[fine_i].astype(jnp.float64) * rs)
+
+    r0, rl0 = residual(x0.astype(jnp.float64), jnp.asarray(xl0, jnp.float64))
+    init = dict(
+        x=x0.astype(jnp.float64),
+        xl=jnp.asarray(xl0, jnp.float64),
+        r=r0, rl=rl0,
+        res=(jnp.sum(jnp.abs(r0)) + jnp.abs(rl0)) / bnorm,
+        res_prev=jnp.asarray(jnp.inf, jnp.float64),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        # stop at tol, iteration cap, or stagnation (f64 floor reached)
+        return ((c["res"] >= tol)
+                & (c["it"] < max_outer)
+                & (c["res"] < 0.7 * c["res_prev"]))
+
+    def body(c):
+        e, el = inner(c["r"], c["rl"])
+        x = c["x"] + e
+        xl = c["xl"] + el
+        # Dirichlet rows stay exactly pinned
+        x = jnp.where(op64.dirichlet_mask > 0, op64.dirichlet_values, x)
+        r, rl = residual(x, xl)
+        return dict(
+            x=x, xl=xl, r=r, rl=rl,
+            res=(jnp.sum(jnp.abs(r)) + jnp.abs(rl)) / bnorm,
+            res_prev=c["res"],
+            it=c["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    x = out["x"]
+    if op32.bound_n > 0:
+        x = sm.bound_eval_neumann(op64, x, b)
+    return x, out["xl"], out["it"], out["res"]

@@ -3,8 +3,9 @@
 The generic V-cycle engine (mg/vcycle.py) is backend-agnostic: it calls the
 functions in ops/smoothers.py, which dispatch here when handed a TpuLevel.
 A TpuLevel repacks a (f64, CPU-built) LevelOperator into the f32
-class-interleaved kernel layout (ops/kernels.py) plus [nblocks, B/128, 128]
-row tensors.  Semantics are IDENTICAL to the XLA path — same (block, class)
+segment-ragged windowed layout (ops/kernels6.py; ops/kernels.py v2 as the
+fallback for non-8-class or >GMAX-patch operators) plus
+[nblocks, B/128, 128] row tensors.  Semantics are IDENTICAL to the XLA path — same (block, class)
 Gauss-Seidel, Lagrange border, Neumann row-solve, RHS pushdown — modulo f32
 arithmetic (Mosaic has no f64; tight tolerances come from mixed-precision
 outer iterations).
@@ -30,9 +31,12 @@ from meshlessmultigridpoisson_tpu.ops.kernels import (
 from meshlessmultigridpoisson_tpu.ops.kernels4 import (
     Ell4Unsupported,
     build_oneshot_K,
-    prepare_kernel_ell4,
-    sor_sweep_tpu5,
-    spmv_tpu4,
+)
+from meshlessmultigridpoisson_tpu.ops.kernels6 import (
+    pack_oneshot_K6,
+    prepare_kernel_ell6,
+    sor_sweep_tpu6,
+    spmv_tpu6,
 )
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
@@ -41,8 +45,8 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
     jax.tree_util.register_dataclass,
     data_fields=(
         "kell",
-        "kell4",
-        "kinvT",
+        "kell6",
+        "kinvT_sg",
         "bound_kell",
         "bound_rows",
         "bound_diag",
@@ -72,8 +76,8 @@ class TpuLevel:
     """All per-level data in kernel-ready f32 layouts."""
 
     kell: KernelEll2
-    kell4: object  # non-split KernelEll4 (v4 spmv + v5 sweep), or None
-    kinvT: object  # [nb, 128, 128] one-shot sweep matrices, or None
+    kell6: object  # segment-ragged KernelEll6 (v6 spmv + sweep), or None
+    kinvT_sg: object  # per-segment one-shot sweep matrices, or None
     bound_kell: KernelEll2  # Neumann rows, compact
     bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
     bound_diag: jnp.ndarray  # [mb_pad] f32
@@ -124,13 +128,14 @@ def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
 def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
     """Repack a CPU-built LevelOperator for TPU kernels (host-side)."""
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
-    # v5 path needs 8-row classes in natural order (lane//8) and a
+    # v6 path needs 8-row classes in natural order (lane//8) and a
     # 128-row-aligned square operator; anything else falls back to v2.
-    kell4, kinvT = None, None
+    kell6, kinvT_sg = None, None
     if op.class_size == 8:
         try:
-            kell4 = prepare_kernel_ell4(op.A, dtype=dtype)
-            kinvT = jnp.asarray(
+            kell6 = prepare_kernel_ell6(op.A, dtype=dtype)
+            kinvT_sg = pack_oneshot_K6(
+                kell6,
                 build_oneshot_K(
                     op.A,
                     op.omega * np.asarray(op.omega_scale),
@@ -139,15 +144,15 @@ def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
                 dtype,
             )
         except Ell4Unsupported:
-            kell4, kinvT = None, None
+            kell6, kinvT_sg = None, None
     bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
     ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
     f = lambda v: jnp.asarray(np.asarray(v), dtype)
     return TpuLevel(
         kell=kell,
-        kell4=kell4,
-        kinvT=kinvT,
+        kell6=kell6,
+        kinvT_sg=kinvT_sg,
         bound_kell=bk,
         bound_rows=jnp.asarray(np.asarray(op.bound.rows)),
         bound_diag=f(op.bound.ell.diag),
@@ -191,8 +196,8 @@ def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
 
 
 def matvec(op: TpuLevel, x, x_lag):
-    if op.kell4 is not None:
-        y = spmv_tpu4(op.kell4, x)
+    if op.kell6 is not None:
+        y = spmv_tpu6(op.kell6, x)
     else:
         y = spmv_tpu2(op.kell, x)
     if op.has_lagrange:
@@ -220,11 +225,11 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     kell = op.kell
     rows2d = kell.nrows_pad // LANES
     x2 = x.reshape(rows2d, LANES)
-    if op.kell4 is not None:
+    if op.kell6 is not None:
         r2 = lambda v: v.reshape(rows2d, LANES)
         b2, lagc2 = r2(b), r2(op.lagc3)
-        sweep = lambda x2, x_lag: sor_sweep_tpu5(
-            op.kell4, op.kinvT, x2, x_lag, b2, lagc2
+        sweep = lambda x2, x_lag: sor_sweep_tpu6(
+            op.kell6, op.kinvT_sg, x2, x_lag, b2, lagc2
         )
     else:
         b3 = b.reshape(op.dinv3.shape)

@@ -105,6 +105,17 @@ def init_state(hier: Hierarchy, b_fine_logical: jnp.ndarray, dtype=None) -> MGSt
     return MGState(x=tuple(xs), x_lag=tuple(xl), b=tuple(bs), b_lag=tuple(bl))
 
 
+def init_like(hier: Hierarchy, dtype=None) -> MGState:
+    """All-zero state (solution AND source) shaped for ``hier``."""
+    dts = [dtype or op.smooth_mask.dtype for op in hier.levels]
+    return MGState(
+        x=tuple(jnp.zeros(op.n_pad, dt) for op, dt in zip(hier.levels, dts)),
+        x_lag=tuple(jnp.zeros((), dt) for dt in dts),
+        b=tuple(jnp.zeros(op.n_pad, dt) for op, dt in zip(hier.levels, dts)),
+        b_lag=tuple(jnp.zeros((), dt) for dt in dts),
+    )
+
+
 def mg_residual(hier: Hierarchy, state: MGState):
     """Finest-grid relative L1 residual (multigrid.cpp:112-115)."""
     L = hier.num_levels - 1

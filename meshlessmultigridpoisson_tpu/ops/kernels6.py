@@ -1,28 +1,35 @@
-"""v6 Pallas TPU kernels: bucketed-ragged windows + int16 column packing.
+"""v6 Pallas TPU kernels: segment-ragged windows, VPU reduction, i16 cols.
 
-The v4 layout (ops/kernels4.py) pays the GLOBAL max windows-per-group W for
-every 16-row group: measured mean W ~ 12 vs max ~ 29 on 1M-point RBF-FD
-operators, i.e. ~2.4x of pure padding streamed from HBM on an operator
-whose hot loop (reference grid.cpp:104-146) is bandwidth-bound.  v6 keeps
-v4's single-pass two-stage gather and MXU/VPU reductions but makes the tile
-count per 128-row block RAGGED:
+Supersedes the v4/v5 kernels (ops/kernels4.py) on three measured fronts
+(262k-1M rows, k=70, chained timing on the v5e — scripts/kiso*.py,
+RESULTS.md):
 
-  * per-block window count W_b = max over the block's 8 groups, quantized
-    onto <= ``max_buckets`` values chosen (exact DP) to minimize total
-    padded tiles;
-  * one pallas_call per bucket with static T = 8*W_bucket; bucket membership
-    is a scalar-prefetched block-id list, so the storage layout of x and all
-    row vectors is untouched;
-  * column indices are packed (local_patch << 7 | lane) < 2048 and stored
-    int16 — 6 B/slot streamed instead of 8.
+1. **Ragged tile counts.** v4 pays the GLOBAL max windows-per-group W for
+   every 16-row group (measured mean ~18 vs max 29 at 1M; up to 3.3x pure
+   padding streamed from HBM for the reference's bandwidth-bound hot loop,
+   grid.cpp:104-146).  v6 cuts the block sequence into <= ``max_segments``
+   CONTIGUOUS, MB-aligned segments; each segment pays its own max W (exact
+   DP minimizes total padded tiles).  Rows are KD-tile ordered, so window
+   counts are spatially smooth and contiguous segments capture most of the
+   raggedness — while keeping block processing order == storage order
+   (the GS oracle is untouched), outputs streaming to static positions,
+   and zero prefetched indices in the kernels.
+2. **VPU reduction.** v4 reduced prod[T,128] -> row sums with two
+   HIGHEST-precision MXU dots (3 bf16 passes each ~ 40% of kernel time).
+   v6 reduces on the VPU: reshape (8,W,128) sum over the window axis,
+   three cyclic lane rolls (8-lane segment sums), two constant-index
+   gathers for placement — exact f32, measured 0.86 -> 0.76 ms at 262k.
+3. **int16 column indices.** (local_patch << 7 | lane) < 2048 packs into
+   i16: 6 B/slot streamed instead of 8, no measured decode cost.
 
-SpMV writes per-bucket contiguous outputs and restores row order with one
-[nb,128]-row take.  The SOR sweep chains the bucket calls over an aliased
-whole-x VMEM buffer; within a call, cross-block Gauss-Seidel is exact in
-bucket-major block order (``block_order``) — a (block,class,slot)
-permutation of the reference's lexicographic SOR with identical fixed point
-(see ops/smoothers.py docstring; the XLA oracle `_gs_sweep_ordered` accepts
-the same order for bit-level parity tests).
+The SOR sweep keeps v5's one-shot semantics (x += K(b - A x - lag), K the
+per-block inverse of D/omega + strictly-lower class coupling, reference
+grid.cpp:104-146): the (block, class, slot) Gauss-Seidel is EXACT and in
+the same storage-block order as the XLA oracle (ops/smoothers._gs_sweep).
+
+Capacity: the sweep holds x whole in VMEM — n_pad <= ~2M rows per call on
+a 16 MB-VMEM core.  Larger single-chip problems fall back to the v2
+kernels; multi-chip uses the row-partitioned path (parallel/).
 """
 
 from __future__ import annotations
@@ -43,7 +50,6 @@ from meshlessmultigridpoisson_tpu.ops.kernels4 import (
     Ell4Unsupported,
     _i32,
     _lane_gather,
-    _selr2,
     _sublane_gather,
     GMAX,
     GROUP,
@@ -51,7 +57,7 @@ from meshlessmultigridpoisson_tpu.ops.kernels4 import (
     WIN,
 )
 
-MB = 8  # blocks per program (bucket block lists are padded to a multiple)
+MB = 8  # blocks per program; segment boundaries are MB-aligned
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,16 +66,16 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("vals", "lcols", "ids"),
-    meta_fields=("windows", "nblocks_pad"),
+    data_fields=("vals", "lcols"),
+    meta_fields=("windows", "nblocks", "block_base"),
 )
 @dataclasses.dataclass(frozen=True)
-class Bucket:
-    vals: jnp.ndarray  # [nbk_pad * T, 128] f32
-    lcols: jnp.ndarray  # [nbk_pad * T, 128] i16 (packed patch<<7|lane)
-    ids: jnp.ndarray  # [nbk_pad] i32 block ids, -1 padding
-    windows: int  # W for this bucket
-    nblocks_pad: int  # multiple of MB
+class Segment:
+    vals: jnp.ndarray  # [nblocks * T, 128] f32
+    lcols: jnp.ndarray  # [nblocks * T, 128] i16 (packed patch<<7|lane)
+    windows: int  # W for this segment
+    nblocks: int  # multiple of MB (except possibly the last segment)
+    block_base: int  # first block id (multiple of MB)
 
     @property
     def tiles(self) -> int:
@@ -78,21 +84,19 @@ class Bucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("buckets", "pids", "perm", "out_order"),
-    meta_fields=("nrows", "ncols", "nrows_pad", "block_order_meta"),
+    data_fields=("segments", "pids", "perm"),
+    meta_fields=("nrows", "ncols", "nrows_pad"),
 )
 @dataclasses.dataclass(frozen=True)
 class KernelEll6:
-    """Bucketed-ragged window layout (see module docstring)."""
+    """Segment-ragged window layout (see module docstring)."""
 
-    buckets: tuple  # tuple[Bucket, ...]
+    segments: tuple  # tuple[Segment, ...] covering blocks 0..nb contiguously
     pids: jnp.ndarray  # [nb * GMAX] i32 x-patch ids per block
     perm: jnp.ndarray  # [nb, 128] i32 group-order -> row-order lane map
-    out_order: jnp.ndarray  # [nb] i32: bucket-concat position of block b
     nrows: int
     ncols: int
     nrows_pad: int
-    block_order_meta: tuple  # block processing order (bucket-major), python ints
 
     @property
     def nblocks(self) -> int:
@@ -103,72 +107,63 @@ class KernelEll6:
         return _round_up(self.ncols, LANES) // LANES
 
     @property
-    def block_order(self) -> np.ndarray:
-        return np.asarray(self.block_order_meta, dtype=np.int64)
-
-    @property
     def table_bytes(self) -> int:
         return sum(
-            b.vals.size * b.vals.dtype.itemsize
-            + b.lcols.size * b.lcols.dtype.itemsize
-            for b in self.buckets
+            s.vals.size * s.vals.dtype.itemsize
+            + s.lcols.size * s.lcols.dtype.itemsize
+            for s in self.segments
         )
 
 
-def _quantize_buckets(wblk: np.ndarray, max_buckets: int) -> np.ndarray:
-    """Pick <= max_buckets window values minimizing total padded tiles.
+def _segment_blocks(wblk_mb: np.ndarray, max_segments: int) -> list[int]:
+    """Cut the MB-group sequence into <= max_segments contiguous pieces
+    minimizing sum(len * maxW); returns cut positions (group indices).
 
-    Exact DP over the sorted distinct values: cost(i..j assigned value v_j)
-    = sum_k count_k * (v_j - v_k).
+    Exact DP over (groups, segments): O(G^2 * K) with G = nb/MB groups.
     """
-    vals, counts = np.unique(wblk, return_counts=True)
-    m = vals.size
-    if m <= max_buckets:
-        return vals
-    # prefix sums for range cost
-    csum = np.concatenate([[0], np.cumsum(counts)])
-    wsum = np.concatenate([[0], np.cumsum(counts * vals)])
-
-    def cost(i, j):  # assign vals[i..j] the value vals[j]
-        return vals[j] * (csum[j + 1] - csum[i]) - (wsum[j + 1] - wsum[i])
-
-    NB = max_buckets
+    g = wblk_mb.size
+    if g == 0:
+        return []
+    K = min(max_segments, g)
+    # suffix max tables for range max
     INF = float("inf")
-    dp = np.full((NB + 1, m), INF)
-    back = np.zeros((NB + 1, m), dtype=np.int64)
-    for j in range(m):
-        dp[1, j] = cost(0, j)
-    for b in range(2, NB + 1):
-        for j in range(m):
-            for i in range(j):
-                c = dp[b - 1, i] + cost(i + 1, j)
-                if c < dp[b, j]:
-                    dp[b, j] = c
-                    back[b, j] = i
-    # backtrack
-    cuts = []
-    j = m - 1
-    b = NB
-    while b > 0:
+    # cost[i][j] = (j - i) * max(w[i:j]) computed on the fly with running max
+    dp = np.full((K + 1, g + 1), INF)
+    back = np.zeros((K + 1, g + 1), dtype=np.int64)
+    dp[0, 0] = 0.0
+    for k in range(1, K + 1):
+        for j in range(1, g + 1):
+            run = 0.0
+            best, arg = INF, 0
+            for i in range(j - 1, -1, -1):
+                if wblk_mb[i] > run:
+                    run = wblk_mb[i]
+                c = dp[k - 1, i] + (j - i) * run
+                if c < best:
+                    best, arg = c, i
+            dp[k, j] = best
+            back[k, j] = arg
+    # pick best k
+    kbest = int(np.argmin(dp[1:, g])) + 1
+    cuts = [g]
+    j, k = g, kbest
+    while k > 0:
+        j = int(back[k, j])
+        k -= 1
         cuts.append(j)
-        j = back[b, j]
-        b -= 1
-        if j < 0 or (b > 0 and j == cuts[-1]):
-            break
-    keep = sorted(set(vals[c] for c in cuts) | {vals[-1]})
-    return np.asarray(keep)
+    return sorted(set(cuts))
 
 
 def prepare_kernel_ell6(
     ell: EllMatrix,
-    max_buckets: int = 6,
+    max_segments: int = 6,
     dtype=jnp.float32,
 ) -> KernelEll6:
-    """Host-side repack into the bucketed window layout.
+    """Host-side repack into the segment-ragged window layout.
 
     Shares v4's grouping scheme (stencil-centroid 16-row groups, shared
-    8-slot windows per (group, patch)) but computes per-block window counts
-    and packs per-bucket ragged tile arrays.
+    8-slot windows per (group, patch)); assigns each contiguous block
+    segment its own window count.
     """
     if ell.block_rows % LANES != 0:
         raise Ell4Unsupported("v6 needs 128-row-aligned blocks")
@@ -179,7 +174,7 @@ def prepare_kernel_ell6(
     rows_glob = np.arange(n_pad)[:, None]
     patches = gc >> 7
 
-    # ---- spatial grouping (same as v4) --------------------------------------
+    # ---- spatial grouping (same as v4) ---------------------------------------
     real = vv != 0.0
     wsum_r = real.sum(axis=1)
     cent = np.where(
@@ -229,11 +224,13 @@ def prepare_kernel_ell6(
     w_per_group = np.zeros(nb * (LANES // GROUP), dtype=np.int64)
     w_per_group[gp_grp[g_start]] = np.add.reduceat(nw, g_start)
 
-    # ---- per-block windows, bucket quantization ------------------------------
+    # ---- contiguous segmentation over MB-block groups -------------------------
     wblk = np.maximum(w_per_group.reshape(nb, LANES // GROUP).max(axis=1), 1)
-    bucket_vals = _quantize_buckets(wblk, max_buckets)
-    # W assigned to each block = smallest bucket value >= wblk
-    bq = bucket_vals[np.searchsorted(bucket_vals, wblk)]
+    nmb = _round_up(nb, MB) // MB
+    wmb = np.ones(nmb * MB, dtype=np.int64)
+    wmb[:nb] = wblk
+    wmb = wmb.reshape(nmb, MB).max(axis=1)
+    cuts = _segment_blocks(wmb, max_segments)
 
     # ---- per-block patch table (same as v4) ----------------------------------
     bp_key = gp_blk * P + gp_pat
@@ -257,11 +254,15 @@ def prepare_kernel_ell6(
     first_of_blk[b_of[blk_start]] = blk_start
     hi_gp = np.searchsorted(bp_u, bp_key) - first_of_blk[gp_blk]
 
-    # ---- bucket membership + per-block tile offsets ---------------------------
-    buckets = []
-    block_order = []
-    out_order = np.zeros(nb, dtype=np.int64)
-    # local tile row of entry inside its block, with the block's own W
+    # ---- per-segment fill ------------------------------------------------------
+    # W assigned to each block = its segment's W
+    wseg = np.empty(nmb, dtype=np.int64)
+    seg_ranges = []
+    for s0, s1 in zip(cuts[:-1], cuts[1:]):
+        wseg[s0:s1] = wmb[s0:s1].max()
+        seg_ranges.append((s0 * MB, min(s1 * MB, nb)))
+    bq = np.repeat(wseg, MB)[:nb]
+
     run_gp = np.searchsorted(gp_u, gp_key)
     ent_run = np.repeat(np.arange(rp_row.size), run_len)
     Wrow = bq[(e_row // LANES)]
@@ -269,66 +270,60 @@ def prepare_kernel_ell6(
     lane = (e_row % GROUP) * WIN + pos % WIN
     trow_in_blk = ((e_row // GROUP) % (LANES // GROUP)) * Wrow + wloc
 
-    pos_total = 0
-    for Wk in bucket_vals.tolist():
-        blist = np.flatnonzero(bq == Wk)
-        if blist.size == 0:
-            continue
+    segments = []
+    segpos_all = np.arange(int(nw.sum())) - np.repeat(csum, nw)
+    blk_of_entry = e_row // LANES
+    for b0, b1 in seg_ranges:
+        Wk = int(bq[b0])
         T = 8 * Wk
-        nbk = blist.size
-        nbk_pad = _round_up(nbk, MB)
-        vals_k = np.zeros((nbk_pad * T, LANES), dtype=np.float64)
-        lcols_k = np.zeros((nbk_pad * T, LANES), dtype=np.int64)
-        filled = np.zeros((nbk_pad * T, LANES), dtype=bool)
-        # position of each block within this bucket
-        bpos = np.full(nb, -1, dtype=np.int64)
-        bpos[blist] = np.arange(nbk)
-        sel = bpos[e_row // LANES] >= 0
-        trow = bpos[e_row[sel] // LANES] * T + trow_in_blk[sel]
+        nbk = _round_up(b1 - b0, MB)  # only the LAST segment may be short
+        vals_k = np.zeros((nbk * T, LANES), dtype=np.float64)
+        lcols_k = np.zeros((nbk * T, LANES), dtype=np.int64)
+        filled = np.zeros((nbk * T, LANES), dtype=bool)
+        sel = (blk_of_entry >= b0) & (blk_of_entry < b1)
+        trow = (blk_of_entry[sel] - b0) * T + trow_in_blk[sel]
         vals_k[trow, lane[sel]] = e_val[sel]
         lcols_k[trow, lane[sel]] = (
             (hi_gp[run_gp][ent_run][sel] << 7) | (e_col[sel] & (LANES - 1))
         )
         filled[trow, lane[sel]] = True
-        # rowpat backfill: padding lanes must read the tile row's patch
-        gsel = bpos[gp_blk] >= 0
-        segpos_all = np.arange(int(nw.sum())) - np.repeat(csum, nw)
-        t0 = (bpos[gp_blk] * T
-              + (gp_grp % (LANES // GROUP)) * bq[gp_blk] + base)
+        # padding lanes must read the tile row's own patch (two-stage gather
+        # invariant: one patch per tile row)
+        gsel = (gp_blk >= b0) & (gp_blk < b1)
+        t0 = ((gp_blk - b0) * T
+              + (gp_grp % (LANES // GROUP)) * Wk + base)
         rows_idx = np.repeat(np.where(gsel, t0, 0), np.where(gsel, nw, 0))
         pat_rep = np.repeat(np.where(gsel, hi_gp, 0), np.where(gsel, nw, 0))
         seg_sel = np.repeat(gsel, nw)
-        rowpat = np.zeros(nbk_pad * T, dtype=np.int64)
+        rowpat = np.zeros(nbk * T, dtype=np.int64)
         rowpat[rows_idx + segpos_all[seg_sel]] = pat_rep
         lcols_k = np.where(filled, lcols_k, rowpat[:, None] << 7)
-
-        ids = np.full(nbk_pad, -1, dtype=np.int64)
-        ids[:nbk] = blist
-        out_order[blist] = pos_total + np.arange(nbk)
-        pos_total += nbk_pad
-        block_order.extend(blist.tolist())
-        buckets.append(Bucket(
+        segments.append(Segment(
             vals=jnp.asarray(vals_k, dtype),
             lcols=jnp.asarray(lcols_k.astype(np.int16)),
-            ids=jnp.asarray(ids.astype(np.int32)),
-            windows=int(Wk),
-            nblocks_pad=int(nbk_pad),
+            windows=Wk,
+            nblocks=int(nbk),
+            block_base=int(b0),
         ))
 
     return KernelEll6(
-        buckets=tuple(buckets),
+        segments=tuple(segments),
         pids=jnp.asarray(pids.reshape(-1).astype(np.int32)),
         perm=jnp.asarray(perm.astype(np.int32)),
-        out_order=jnp.asarray(out_order.astype(np.int32)),
         nrows=ell.nrows,
         ncols=ell.ncols,
         nrows_pad=n_pad,
-        block_order_meta=tuple(int(b) for b in block_order),
     )
 
 
+# ---------------------------------------------------------------------------
+# kernel building blocks
+# ---------------------------------------------------------------------------
+
+
 def _gather_rows(scratch, lcols, vals, t):
-    """Off-block entry products for t tile rows: vals * x[cols], [t,128]."""
+    """Entry products for t tile rows: vals * x[cols], [t,128] (two-stage
+    gather: sublane patch select, then lane gather)."""
     hi = lax.shift_right_logical(lcols, _i32(7))
     lo = lax.bitwise_and(lcols, _i32(LANES - 1))
     s8a = scratch[0:8, :]
@@ -344,20 +339,30 @@ def _gather_rows(scratch, lcols, vals, t):
     return vals * jnp.concatenate(parts, axis=0)
 
 
-def _reduce_rows(prod, selr2, gmask, ones_t, precision):
-    """[t,128] entry products -> [1,128] group-ordered row sums (MXU)."""
-    q = jnp.dot(prod, selr2, preferred_element_type=prod.dtype,
-                precision=precision)
-    return jnp.dot(ones_t, q * gmask, preferred_element_type=prod.dtype,
-                   precision=precision)
+def _vpu_reduce(prod, w, lanesel, groupsel):
+    """[T,128] entry products -> [1,128] group-ordered row sums, VPU-only.
+
+    1. acc[g,:] = sum_w prod[g*W+w,:] (reshape + sum over the window axis);
+    2. three cyclic lane rolls make lane 8j of acc[g] the member-j sum;
+    3. constant-index lane gather (l -> 8*(l%16)) then sublane gather
+       (l -> l//16) place member sums at lane g*16+j.  Exact f32.
+    """
+    acc = jnp.sum(prod.reshape(8, w, LANES), axis=1)  # [8,128]
+    r = acc + pltpu.roll(acc, _i32(LANES - 1), 1)
+    r = r + pltpu.roll(r, _i32(LANES - 2), 1)
+    r = r + pltpu.roll(r, _i32(LANES - 4), 1)
+    tmp = _lane_gather(r, lanesel)  # [8,128]
+    return _sublane_gather(tmp, groupsel)[0:1, :]  # [1,128]
 
 
-def _gmask(t: int, w: int, dtype) -> np.ndarray:
-    out = np.zeros((t, LANES))
-    for tt in range(t):
-        g = tt // w
-        out[tt, g * GROUP:(g + 1) * GROUP] = 1.0
-    return out.astype(dtype)
+def _lanesel() -> np.ndarray:
+    return np.broadcast_to(
+        8 * (np.arange(LANES) % GROUP), (8, LANES)).astype(np.int32)
+
+
+def _groupsel() -> np.ndarray:
+    return np.broadcast_to(
+        np.arange(LANES) // GROUP, (8, LANES)).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -365,70 +370,72 @@ def _gmask(t: int, w: int, dtype) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _spmv6_kernel(ids_ref, pid_ref, vals_ref, lcols_ref, selr2_ref,
-                  gmask_ref, ones_ref, x_ref, out_ref, scratch, *, t,
-                  precision):
+def _spmv6_kernel(pid_ref, vals_ref, lcols_ref, perm_ref, lanesel_ref,
+                  groupsel_ref, x_ref, out_ref, scratch, *, t, w, base,
+                  guard, nb):
     i = pl.program_id(0)
     for j in range(MB):
-        bi = ids_ref[i * MB + j]
-        bsafe = jnp.maximum(bi, _i32(0))
-
-        @pl.when(bi >= _i32(0))
-        def _():
-            for k in range(GMAX):
-                scratch[k, :] = x_ref[pid_ref[bsafe * GMAX + k], :]
-            prod = _gather_rows(
-                scratch[...],
-                lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
-                vals_ref[j * t:(j + 1) * t, :],
-                t,
-            )
-            out_ref[pl.ds(j, 1), :] = _reduce_rows(
-                prod, selr2_ref[...], gmask_ref[...], ones_ref[...], precision
-            )
+        bi = base + i * MB + j
+        bs = jnp.minimum(_i32(bi), _i32(nb - 1)) if guard else _i32(bi)
+        for k in range(GMAX):
+            scratch[k, :] = x_ref[pid_ref[bs * GMAX + k], :]
+        prod = _gather_rows(
+            scratch[...],
+            lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
+            vals_ref[j * t:(j + 1) * t, :],
+            t,
+        )
+        y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
+        out_ref[pl.ds(j, 1), :] = _lane_gather(
+            y_grp, perm_ref[pl.ds(j, 1), :])
 
 
-def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray,
-              precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x; returns [nrows_pad] in row order."""
-    dtype = kell.buckets[0].vals.dtype
+    dtype = kell.segments[0].vals.dtype
     xr = kell.x_rows
     xp = jnp.zeros(xr * LANES, dtype).at[: x.shape[0]].set(x.astype(dtype))
     x2 = xp.reshape(xr, LANES)
-    selr2 = jnp.asarray(_selr2(np.dtype(dtype)))
-    z2 = lambda i, ids, pp: (np.int32(0),) * 2
+    lanesel = jnp.asarray(_lanesel())
+    groupsel = jnp.asarray(_groupsel())
+    z2 = lambda i, pp: (np.int32(0),) * 2
+    nb_cov = max(sg.block_base + sg.nblocks for sg in kell.segments)
+    perm_pad = kell.perm
+    if nb_cov > kell.nblocks:
+        perm_pad = jnp.concatenate([
+            kell.perm,
+            jnp.zeros((nb_cov - kell.nblocks, LANES), kell.perm.dtype)], 0)
     outs = []
-    for bk in kell.buckets:
-        t = bk.tiles
-        gmask = jnp.asarray(_gmask(t, bk.windows, np.dtype(dtype)))
-        ones_t = jnp.ones((1, t), dtype)
+    for sg in kell.segments:
+        t = sg.tiles
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bk.nblocks_pad // MB,),
+            num_scalar_prefetch=1,
+            grid=(sg.nblocks // MB,),
             in_specs=[
-                pl.BlockSpec((MB * t, LANES),
-                             lambda i, ids, pp: (i, np.int32(0))),
-                pl.BlockSpec((MB * t, LANES),
-                             lambda i, ids, pp: (i, np.int32(0))),
-                pl.BlockSpec((LANES, LANES), z2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, LANES), z2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec(
+                    (MB, LANES),
+                    functools.partial(
+                        lambda b0, i, pp: (b0 + i, np.int32(0)),
+                        sg.block_base // MB)),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((MB, LANES),
-                                   lambda i, ids, pp: (i, np.int32(0))),
+            out_specs=pl.BlockSpec((MB, LANES), lambda i, pp: (i, np.int32(0))),
             scratch_shapes=[pltpu.VMEM((GMAX, LANES), dtype)],
         )
-        out_k = pl.pallas_call(
-            functools.partial(_spmv6_kernel, t=t, precision=precision),
-            out_shape=jax.ShapeDtypeStruct((bk.nblocks_pad, LANES), dtype),
+        outs.append(pl.pallas_call(
+            functools.partial(_spmv6_kernel, t=t, w=sg.windows,
+                              base=sg.block_base,
+                              guard=sg.block_base + sg.nblocks > kell.nblocks,
+                              nb=kell.nblocks),
+            out_shape=jax.ShapeDtypeStruct((sg.nblocks, LANES), dtype),
             grid_spec=grid_spec,
-        )(bk.ids, kell.pids, bk.vals, bk.lcols, selr2, gmask, ones_t, x2)
-        outs.append(out_k)
-    cat = jnp.concatenate(outs, axis=0)
-    y_grp = jnp.take(cat, kell.out_order, axis=0)  # [nb,128] group-ordered
-    y = _lane_gather(y_grp, kell.perm)  # restore row order within blocks
-    return y.reshape(-1)
+        )(kell.pids, sg.vals, sg.lcols, perm_pad, lanesel, groupsel, x2))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return y.reshape(-1)[: kell.nrows_pad]
 
 
 # ---------------------------------------------------------------------------
@@ -436,10 +443,10 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _sweep6_kernel(ids_ref, pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
-                   kinvT_ref, selr2_ref, gmask_ref, ones_ref, b_ref,
-                   lagc_ref, x_in_ref, x_out_ref, scratch, *, t, first,
-                   precision):
+def _sweep6_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
+                   kinvT_ref, lanesel_ref, groupsel_ref, b_ref, lagc_ref,
+                   x_in_ref, x_out_ref, scratch, *, t, w, base, first, nb,
+                   guard, fast):
     i = pl.program_id(0)
     xlag = xlag_ref[0]
     if first:
@@ -448,93 +455,118 @@ def _sweep6_kernel(ids_ref, pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
             x_out_ref[...] = x_in_ref[...]
 
     for j in range(MB):
-        bi = ids_ref[i * MB + j]
-        bsafe = jnp.maximum(bi, _i32(0))
+        bi = base + i * MB + j
 
-        @pl.when(bi >= _i32(0))
-        def _():
+        def body(bs):
             for k in range(GMAX):
-                scratch[k, :] = x_out_ref[pid_ref[bsafe * GMAX + k], :]
+                scratch[k, :] = x_out_ref[pid_ref[bs * GMAX + k], :]
             prod = _gather_rows(
                 scratch[...],
                 lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
                 vals_ref[j * t:(j + 1) * t, :],
                 t,
             )
-            y_grp = _reduce_rows(
-                prod, selr2_ref[...], gmask_ref[...], ones_ref[...], precision
-            )
-            y = _lane_gather(y_grp, perm_ref[pl.ds(bsafe, 1), :])
-            tvec = (b_ref[pl.ds(bsafe, 1), :] - y
-                    - lagc_ref[pl.ds(bsafe, 1), :] * xlag)
-            dx = jnp.dot(tvec, kinvT_ref[j, :, :],
-                         preferred_element_type=tvec.dtype,
-                         precision=lax.Precision.HIGHEST)
-            x_out_ref[pl.ds(bsafe, 1), :] = x_out_ref[pl.ds(bsafe, 1), :] + dx
+            y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
+            y = _lane_gather(y_grp, perm_ref[pl.ds(j, 1), :])
+            tvec = (b_ref[pl.ds(j, 1), :] - y
+                    - lagc_ref[pl.ds(j, 1), :] * xlag)
+            dx = jnp.dot(tvec.astype(kinvT_ref.dtype) if fast else tvec,
+                         kinvT_ref[j, :, :],
+                         preferred_element_type=jnp.float32,
+                         precision=(lax.Precision.DEFAULT if fast
+                                    else lax.Precision.HIGHEST))
+            x_out_ref[pl.ds(bs, 1), :] = x_out_ref[pl.ds(bs, 1), :] + dx
+
+        if guard:
+            bv = _i32(bi)
+            pl.when(bv < _i32(nb))(
+                lambda: body(jnp.minimum(bv, _i32(nb - 1))))
+        else:
+            body(_i32(bi))
 
 
 def sor_sweep_tpu6(
     kell: KernelEll6,
-    kinvT_bk: tuple,  # per-bucket [nbk_pad,128,128] one-shot matrices
+    kinvT_sg: tuple,  # per-segment [nblocks,128,128] one-shot matrices
     x2: jnp.ndarray,  # [nblocks, 128]
     x_lag: jnp.ndarray,
     b2: jnp.ndarray,
     lagc2: jnp.ndarray,
-    precision=lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
-    """One exact GS sweep in bucket-major block order; updated [nb,128] x."""
-    dtype = kell.buckets[0].vals.dtype
-    selr2 = jnp.asarray(_selr2(np.dtype(dtype)))
-    z2 = lambda i, ids, pp: (np.int32(0),) * 2
+    """One exact (block, class)-GS sweep in storage block order.
+
+    If the K matrices are bf16 (pack_oneshot_K6 dtype), the one-shot step
+    runs a single-pass MXU dot ("fast" mode): the per-sweep update K(b-Ax)
+    is perturbed ~1e-3 relative — the smoother contraction changes
+    imperceptibly and the FIXED POINT is untouched (dx = 0 iff r = 0 for
+    any nonsingular K), but bit-parity with the f32 oracle is waived.
+    """
+    dtype = kell.segments[0].vals.dtype
+    lanesel = jnp.asarray(_lanesel())
+    groupsel = jnp.asarray(_groupsel())
+    z2 = lambda i, pp: (np.int32(0),) * 2
     rowspec_full = pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM)
     xl = jnp.asarray([x_lag], dtype)
-    for bi_k, bk in enumerate(kell.buckets):
-        t = bk.tiles
-        gmask = jnp.asarray(_gmask(t, bk.windows, np.dtype(dtype)))
-        ones_t = jnp.ones((1, t), dtype)
+    nb = kell.nblocks
+    nb_cov = max(sg.block_base + sg.nblocks for sg in kell.segments)
+
+    def pad_rows(v):
+        if nb_cov == nb:
+            return v
+        return jnp.concatenate(
+            [v, jnp.zeros((nb_cov - nb, LANES), v.dtype)], 0)
+
+    perm_pad = pad_rows(kell.perm)
+    b_pad = pad_rows(b2)
+    lagc_pad = pad_rows(lagc2)
+    for si, sg in enumerate(kell.segments):
+        t = sg.tiles
+        seg_row = functools.partial(
+            lambda b0, i, pp: (b0 + i, np.int32(0)), sg.block_base // MB)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bk.nblocks_pad // MB,),
+            num_scalar_prefetch=1,
+            grid=(sg.nblocks // MB,),
             in_specs=[
-                pl.BlockSpec((1,), lambda i, ids, pp: (np.int32(0),),
+                pl.BlockSpec((1,), lambda i, pp: (np.int32(0),),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((MB * t, LANES),
-                             lambda i, ids, pp: (i, np.int32(0))),
-                pl.BlockSpec((MB * t, LANES),
-                             lambda i, ids, pp: (i, np.int32(0))),
-                pl.BlockSpec(kell.perm.shape, z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((MB, LANES), seg_row),
                 pl.BlockSpec((MB, LANES, LANES),
-                             lambda i, ids, pp: (i, np.int32(0), np.int32(0))),
-                pl.BlockSpec((LANES, LANES), z2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, LANES), z2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), z2, memory_space=pltpu.VMEM),
-                rowspec_full,
-                rowspec_full,
+                             lambda i, pp: (i, np.int32(0), np.int32(0))),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((MB, LANES), seg_row),
+                pl.BlockSpec((MB, LANES), seg_row),
                 rowspec_full,
             ],
             out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((GMAX, LANES), dtype)],
         )
         x2 = pl.pallas_call(
-            functools.partial(_sweep6_kernel, t=t, first=True,
-                              precision=precision),
+            functools.partial(
+                _sweep6_kernel, t=t, w=sg.windows, base=sg.block_base,
+                first=True, nb=nb,
+                guard=sg.block_base + sg.nblocks > nb,
+                fast=kinvT_sg[si].dtype == jnp.bfloat16,
+            ),
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
             grid_spec=grid_spec,
-            input_output_aliases={12: 0},
+            input_output_aliases={10: 0},
         )(
-            bk.ids, kell.pids, xl, bk.vals, bk.lcols, kell.perm,
-            kinvT_bk[bi_k], selr2, gmask, ones_t, b2, lagc2, x2,
+            kell.pids, xl, sg.vals, sg.lcols, perm_pad,
+            kinvT_sg[si], lanesel, groupsel, b_pad, lagc_pad, x2,
         )
     return x2
 
 
 def pack_oneshot_K6(kell: KernelEll6, kinvT: np.ndarray, dtype=jnp.float32):
-    """Regroup [nb,128,128] one-shot matrices into per-bucket padded arrays."""
+    """Slice [nb,128,128] one-shot matrices into per-segment padded arrays."""
     out = []
-    for bk in kell.buckets:
-        ids = np.asarray(bk.ids)
-        kk = np.zeros((bk.nblocks_pad, LANES, LANES), dtype=np.float64)
-        sel = ids >= 0
-        kk[np.nonzero(sel)[0]] = np.asarray(kinvT)[ids[sel]]
+    kv = np.asarray(kinvT)
+    for sg in kell.segments:
+        kk = np.zeros((sg.nblocks, LANES, LANES), dtype=np.float64)
+        hi = min(sg.block_base + sg.nblocks, kv.shape[0])
+        kk[: hi - sg.block_base] = kv[sg.block_base:hi]
         out.append(jnp.asarray(kk, dtype))
     return tuple(out)

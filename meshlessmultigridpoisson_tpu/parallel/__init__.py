@@ -5,13 +5,15 @@ no GPU); these components are new, specified by BASELINE.json's north star.
 Design ("sequence parallelism" for the point axis, SURVEY.md section 5):
 
 * the FINE level's rows are partitioned into contiguous RCM blocks per
-  device (contiguity + RCM banding => each shard's stencils reach only a
-  bounded halo of neighbor-shard entries);
-* halo exchange is two `ppermute` edge-slice sends per application,
-  overlapped by XLA with local compute;
-* the smoother stays the exact in-shard (block, class) GS; cross-shard
-  seams relax concurrently (block-Jacobi at seam rows, damped via
-  omega_scale — measured necessary and sufficient for stability);
+  device, each reordered [frontier | interior] (frontier = rows with any
+  cross-shard coupling; under the symmetric pattern, ONLY frontier rows
+  are ever read remotely);
+* exchanges move just the nf-row frontier slices via `ppermute`; the
+  interior phase — the bulk of the sweep — is communication-free;
+* the smoother is EXACT global Gauss-Seidel under the frontier-phased
+  order (shards ≡ p mod C update their frontiers in phase p; same-phase
+  shards never couple) — no seam damping, serial-grade convergence
+  (parallel/partition.py docstring has the proof sketch);
 * Lagrange border dots and residual norms are `psum` reductions;
 * coarse levels are REPLICATED per device (they are cheap relative to the
   fine level at scale): restriction becomes per-shard partial products +

@@ -1,8 +1,32 @@
-"""Host-side domain partitioner: contiguous RCM row blocks per device.
+"""Host-side domain partitioner: contiguous RCM row blocks per device,
+frontier/interior split for EXACT cross-shard Gauss-Seidel.
 
 Produces stacked [P, ...] arrays (leading axis = device) so the sharded
 solve path (parallel/sharded.py) can shard_map over them.  The fine level
-is row-partitioned with a uniform halo H; coarse levels stay replicated.
+is row-partitioned; coarse levels stay replicated.
+
+Exact distributed GS (round-2 redesign; replaces the round-1 seam-damped
+smoother): under the SYMMETRIC coupling pattern a+aT, any row that is read
+across a shard boundary has a cross-shard neighbor itself — i.e. every
+cross-shard read touches a FRONTIER row.  Order the global sweep
+
+    [frontier rows of shards s ≡ 0 (mod C)] -> ... -> [≡ C-1 (mod C)]
+    -> [all interior rows]
+
+with C = (max shard distance of any coupling) + 1 (2 in production: halos
+reach only adjacent shards; tiny test meshes may span more).  Then
+
+  * same-phase shards never couple (distance >= C), so each frontier phase
+    is embarrassingly parallel;
+  * earlier-phase values arrive fresh via an nf-row frontier-slice
+    ppermute before each phase; later-phase/interior values are correctly
+    OLD (pre-sweep) — Gauss-Seidel semantics hold exactly;
+  * the interior phase reads only own-shard rows — zero communication, and
+    it is ~(ns-nf)/ns of the work.
+
+Each shard stores rows as [frontier (nf, 256-aligned, interiors borrowed
+to make nf uniform) | interior (ns-nf)], both groups independently
+(block, class)-colored so the in-shard tile scan stays exact GS.
 """
 
 from __future__ import annotations
@@ -15,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from meshlessmultigridpoisson_tpu.geometry.coloring import block_class_permutation
 from meshlessmultigridpoisson_tpu.mg.vcycle import Hierarchy
 from meshlessmultigridpoisson_tpu.ops.ell import EllMatrix, ell_to_csr, global_cols
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
@@ -27,40 +52,41 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=(
-        "vals", "lcols_ext", "win_start_ext", "diag",
+        "vals", "lcols_ext", "diag",
         "smooth_mask", "dirichlet_mask", "neumann_mask",
         "dirichlet_values", "neumann_values", "omega_w", "lag_col", "lag_row",
         "bound_rows", "bound_vals", "bound_lcols_ext", "bound_diag",
         "cond_rows", "cond_vals", "cond_lcols_ext",
     ),
     meta_fields=(
-        "n", "n_pad2", "num_shards", "shard_rows", "halo",
+        "n", "n_pad2", "num_shards", "shard_rows", "frontier_rows", "phases",
         "block_rows", "class_size", "width", "has_lagrange", "omega", "iters",
     ),
 )
 @dataclasses.dataclass(frozen=True)
 class ShardedFineLevel:
-    """Fine-level operator split into P contiguous row shards + halo maps.
+    """Fine-level operator split into P contiguous row shards.
 
+    Per-shard row layout: [frontier (nf) | interior (ns-nf)].
     ``lcols_ext`` indexes the EXTENDED local vector
-    x_ext = [left halo (H), own rows (Ns), right halo (H)].
-    Compact row sets (Neumann boundary rows, condensation rows) hold LOCAL
-    row ids with an out-of-range sentinel for padding.
+      x_ext = [own rows (ns) |
+               left-1 frontier (nf) | right-1 frontier (nf) | ... hops]
+    (hops = phases-1).  Compact row sets (Neumann boundary, condensation)
+    hold LOCAL row ids with an out-of-range sentinel for padding.
     """
 
     vals: jnp.ndarray  # [P, Ns, w]
     lcols_ext: jnp.ndarray  # [P, Ns, w] int32 into x_ext
-    win_start_ext: jnp.ndarray  # [P, nblocks_s] int32 (info only)
     diag: jnp.ndarray  # [P, Ns]
     smooth_mask: jnp.ndarray
     dirichlet_mask: jnp.ndarray
     neumann_mask: jnp.ndarray
     dirichlet_values: jnp.ndarray
     neumann_values: jnp.ndarray
-    omega_w: jnp.ndarray  # [P, Ns] per-row omega (seam rows damped)
+    omega_w: jnp.ndarray  # [P, Ns] per-row omega (no seam damping)
     lag_col: jnp.ndarray
     lag_row: jnp.ndarray
-    bound_rows: jnp.ndarray  # [P, mb] int32 local row ids (sentinel = Ns+big)
+    bound_rows: jnp.ndarray  # [P, mb] int32 local row ids (sentinel = big)
     bound_vals: jnp.ndarray  # [P, mb, wb]
     bound_lcols_ext: jnp.ndarray  # [P, mb, wb]
     bound_diag: jnp.ndarray  # [P, mb]
@@ -71,7 +97,8 @@ class ShardedFineLevel:
     n_pad2: int
     num_shards: int
     shard_rows: int
-    halo: int
+    frontier_rows: int  # nf, uniform across shards, multiple of block_rows
+    phases: int  # C frontier phases (hops = C-1)
     block_rows: int
     class_size: int
     width: int
@@ -79,18 +106,19 @@ class ShardedFineLevel:
     omega: float
     iters: int
 
+    @property
+    def halo(self) -> int:  # ext rows beyond own (both sides)
+        return 2 * (self.phases - 1) * self.frontier_rows
 
-def _compact_to_shards(
-    rows: np.ndarray,  # global (padded2) row ids, real entries only
-    vals: np.ndarray,  # [m, w]
-    gcols: np.ndarray,  # [m, w] global cols (padding entries value 0)
-    diag: np.ndarray | None,  # [m]
-    p: int,
-    ns: int,
-    halo: int,
-):
-    """Split compact row sets by owner shard; local rows + ext cols."""
-    owner = rows // ns
+    @property
+    def ext_rows(self) -> int:
+        return self.shard_rows + self.halo
+
+
+def _compact_to_shards(rows, vals, gcols, diag, p, ns, newpos, ext_of):
+    """Split compact row sets by owner shard; rows/cols in the new layout."""
+    rows_new = newpos[rows]
+    owner = rows_new // ns
     mmax = max(int(np.bincount(owner, minlength=p).max()) if rows.size else 0, 1)
     w = vals.shape[1]
     out_rows = np.full((p, mmax), ns + 10**6, dtype=np.int64)
@@ -100,20 +128,24 @@ def _compact_to_shards(
     for s in range(p):
         sel = np.nonzero(owner == s)[0]
         m = sel.size
-        out_rows[s, :m] = rows[sel] - s * ns
+        out_rows[s, :m] = rows_new[sel] - s * ns
         out_vals[s, :m] = vals[sel]
-        ext = gcols[sel] - (s * ns - halo)
-        # padding entries may fall outside the ext range; point them at 0
-        ext = np.where(out_vals[s, :m] != 0.0, ext, 0)
-        out_cols[s, :m] = np.clip(ext, 0, ns + 2 * halo - 1)
+        ext = ext_of(s, newpos[gcols[sel]])
+        out_cols[s, :m] = np.where(out_vals[s, :m] != 0.0, ext, 0)
         if diag is not None:
             out_diag[s, :m] = diag[sel]
     return out_rows, out_vals, out_cols, out_diag
 
 
 def partition_fine_level(
-    op: LevelOperator, num_shards: int, seam_damp: float = 0.6
-) -> ShardedFineLevel:
+    op: LevelOperator, num_shards: int,
+) -> tuple[ShardedFineLevel, np.ndarray]:
+    """Split ``op`` into P shards with the frontier/interior layout.
+
+    Returns (sharded level, newpos) where newpos[old_padded2_row] = new
+    global position (shard-local frontier/interior reorder composed onto
+    the contiguous split).
+    """
     p = num_shards
     b = op.A.block_rows
     n_pad = op.n_pad
@@ -121,69 +153,116 @@ def partition_fine_level(
     ns = n_pad2 // p
     w = op.A.width
 
+    vals0 = np.zeros((n_pad2, w))
+    vals0[:n_pad] = np.asarray(op.A.vals)
+    gcols0 = np.zeros((n_pad2, w), dtype=np.int64)
+    gcols0[:n_pad] = np.asarray(global_cols(op.A))
+    gcols0[n_pad:] = np.arange(n_pad, n_pad2)[:, None]  # pad rows self-point
+
+    # --- symmetric coupling pattern on padded2 ids ---------------------------
+    real = vals0 != 0.0
+    rr = np.repeat(np.arange(n_pad2), w)[real.ravel()]
+    cc = gcols0.ravel()[real.ravel()]
+    pat = sp.coo_matrix(
+        (np.ones(rr.size), (rr, cc)), shape=(n_pad2, n_pad2)
+    ).tocsr()
+    pat = (pat + pat.T).tocsr()
+
+    row_shard = np.arange(n_pad2) // ns
+    col_shard = pat.indices // ns
+    reach = np.abs(col_shard - np.repeat(row_shard, np.diff(pat.indptr)))
+    # frontier rows + phase count
+    seg = np.zeros(n_pad2, dtype=np.int64)
+    np.maximum.at(seg, np.repeat(np.arange(n_pad2), np.diff(pat.indptr)), reach)
+    frontier = seg > 0
+    C = int(seg.max()) + 1 if p > 1 else 1
+    nf = int(frontier.reshape(p, ns).sum(axis=1).max()) if p > 1 else 0
+    nf = min(_round_up(nf, b), ns) if nf else 0
+
+    # --- per-shard reorder: [frontier (borrow interiors up to nf), interior] --
+    newpos = np.empty(n_pad2, dtype=np.int64)
+    for s in range(p):
+        lo = s * ns
+        loc = np.arange(lo, lo + ns)
+        fr = frontier[loc]
+        fidx = loc[fr]
+        iidx = loc[~fr]
+        borrow = nf - fidx.size
+        if borrow > 0:  # pad the frontier group with (harmless) interiors
+            fidx = np.concatenate([fidx, iidx[:borrow]])
+            iidx = iidx[borrow:]
+        order = np.concatenate([fidx, iidx])  # old ids in new local order
+
+        # recolor each group independently (in-shard tile independence)
+        def color(group):
+            if group.size == 0:
+                return group
+            sub = pat[group][:, group].tocsr()
+            perm, _ = block_class_permutation(sub, b, op.class_size)
+            return group[perm]
+
+        order = np.concatenate([color(order[:nf]), color(order[nf:])])
+        newpos[order] = np.arange(lo, lo + ns)
+
+    # ext position of a NEW global position, seen from shard s
+    hops = C - 1
+
+    def ext_of(s, q):
+        qs = q // ns
+        qloc = q - qs * ns
+        d = qs - s
+        base = np.where(
+            d == 0, 0,
+            ns + (np.abs(d) - 1) * 2 * nf + np.where(d < 0, 0, nf),
+        )
+        out = np.where(d == 0, qloc, base + qloc)
+        # cross-shard cols are always frontier rows (qloc < nf); clamp
+        # padding junk into range
+        return np.clip(out, 0, ns + 2 * hops * nf - 1)
+
+    # --- permute row-wise arrays ----------------------------------------------
+    iperm = np.argsort(newpos)  # new -> old
+
     def pad_rows(v, fill=0.0):
         out = np.full(n_pad2, fill, dtype=np.float64)
-        out[: v.shape[0]] = np.asarray(v)
-        return out
+        out[: np.asarray(v).shape[0]] = np.asarray(v)
+        return out[iperm]
 
-    vals = np.zeros((n_pad2, w))
-    vals[:n_pad] = np.asarray(op.A.vals)
-    gcols = np.zeros((n_pad2, w), dtype=np.int64)
-    gcols[:n_pad] = np.asarray(global_cols(op.A))
-    gcols[n_pad:] = np.minimum(np.arange(n_pad, n_pad2), n_pad - 1)[:, None]
-
-    ws = np.asarray(op.A.win_start).astype(np.int64)
-    nblocks2 = n_pad2 // b
-    ws2 = np.zeros(nblocks2, dtype=np.int64)
-    ws2[: ws.size] = ws
-    ws2[ws.size :] = max(n_pad - op.A.win_size, 0)
-    wsize = op.A.win_size
-
-    # uniform halo over all shards, 128-aligned
-    blk_shard = np.arange(nblocks2) * b // ns
-    start_of = blk_shard * ns
-    end_of = start_of + ns
-    h = max(
-        int(np.maximum(start_of - ws2, 0).max()),
-        int(np.maximum(ws2 + wsize - end_of, 0).max()),
-    )
-    h = _round_up(max(h, 1), 128)
-
-    # seam rows: any stencil col outside the owner shard
-    row_shard = np.arange(n_pad2) // ns
-    seam = (
-        (gcols < (row_shard * ns)[:, None])
-        | (gcols >= ((row_shard + 1) * ns)[:, None])
-    ).any(axis=1)
-    omega_scale = pad_rows(op.omega_scale, 1.0)
-    omega_w = op.omega * omega_scale * np.where(seam, seam_damp, 1.0)
-
-    lcols_ext = gcols - (row_shard * ns - h)[:, None]
-    assert (lcols_ext >= 0).all() and (lcols_ext < ns + 2 * h).all()
+    vals = vals0[iperm]
+    gcols_new = newpos[gcols0[iperm]]
+    rs = np.arange(n_pad2) // ns
+    lcols_ext = np.empty((n_pad2, w), dtype=np.int64)
+    for s in range(p):
+        sl = slice(s * ns, (s + 1) * ns)
+        lcols_ext[sl] = ext_of(s, gcols_new[sl])
+    if p > 1:
+        cross = np.abs(gcols_new // ns - rs[:, None]) > 0
+        assert ((gcols_new % ns < nf) | ~cross | (vals == 0.0)).all(), \
+            "cross-shard read of a non-frontier row"
 
     def shard(vv):
         return jnp.asarray(np.asarray(vv).reshape(p, ns, *vv.shape[1:]))
 
-    # compact sets
+    omega_w = pad_rows(op.omega * np.asarray(op.omega_scale), 1.0)
+
     bc = op.bound
     brows_g = np.asarray(bc.rows)[: bc.nrows]
     bvals = np.asarray(bc.ell.vals)[: bc.nrows]
     bgcols = np.asarray(global_cols(bc.ell))[: bc.nrows]
     bdiag = np.asarray(bc.ell.diag)[: bc.nrows]
-    br, bv, bcx, bd = _compact_to_shards(brows_g, bvals, bgcols, bdiag, p, ns, h)
+    br, bv, bcx, bd = _compact_to_shards(
+        brows_g, bvals, bgcols, bdiag, p, ns, newpos, ext_of)
 
-    cc = op.cond
-    crows_g = np.asarray(cc.rows)[: cc.nrows]
-    cvals = np.asarray(cc.ell.vals)[: cc.nrows]
-    cgcols = np.asarray(global_cols(cc.ell))[: cc.nrows]
-    cr, cv, ccx, _ = _compact_to_shards(crows_g, cvals, cgcols, None, p, ns, h)
+    cc_ = op.cond
+    crows_g = np.asarray(cc_.rows)[: cc_.nrows]
+    cvals = np.asarray(cc_.ell.vals)[: cc_.nrows]
+    cgcols = np.asarray(global_cols(cc_.ell))[: cc_.nrows]
+    cr, cv, ccx, _ = _compact_to_shards(
+        crows_g, cvals, cgcols, None, p, ns, newpos, ext_of)
 
-    return ShardedFineLevel(
+    level = ShardedFineLevel(
         vals=shard(vals),
         lcols_ext=shard(lcols_ext.astype(np.int32)),
-        win_start_ext=jnp.asarray(
-            (ws2 - (blk_shard * ns - h)).reshape(p, -1).astype(np.int32)
-        ),
         diag=shard(pad_rows(op.A.diag, 1.0)),
         smooth_mask=shard(pad_rows(op.smooth_mask)),
         dirichlet_mask=shard(pad_rows(op.dirichlet_mask)),
@@ -204,7 +283,8 @@ def partition_fine_level(
         n_pad2=n_pad2,
         num_shards=p,
         shard_rows=ns,
-        halo=h,
+        frontier_rows=nf,
+        phases=C,
         block_rows=b,
         class_size=op.class_size,
         width=w,
@@ -212,6 +292,7 @@ def partition_fine_level(
         omega=op.omega,
         iters=op.iters,
     )
+    return level, newpos
 
 
 @dataclasses.dataclass
@@ -222,18 +303,23 @@ class ShardedHierarchy:
     coarse: Hierarchy  # levels[:-1] hierarchy (replicated), may be empty
     # fine<->coarsest-below transfers, split by fine shard:
     restrict_vals: jnp.ndarray  # [P, nc_pad, wR] R restricted to shard cols
-    restrict_lcols: jnp.ndarray  # [P, nc_pad, wR] LOCAL fine cols [0, Ns)
+    restrict_lcols: jnp.ndarray  # [P, nc_pad, wR] LOCAL fine rows [0, Ns)
     prolong_vals: jnp.ndarray  # [P, Ns, wP]
     prolong_cols: jnp.ndarray  # [P, Ns, wP] coarse (replicated) cols
     fine_op_cpu: LevelOperator  # for problem construction / extraction
+    newpos: np.ndarray  # old padded2 position -> new global position
 
 
 def partition_hierarchy(
-    hier: Hierarchy, num_shards: int, seam_damp: float = 0.6
+    hier: Hierarchy, num_shards: int, seam_damp: float | None = None,
 ) -> ShardedHierarchy:
+    """Partition the finest level; replicate the rest.  ``seam_damp`` is
+    accepted for backward compatibility and ignored (the exact-GS phase
+    sweep needs no damping)."""
     fine_cpu = hier.levels[-1]
-    fine = partition_fine_level(fine_cpu, num_shards, seam_damp)
+    fine, newpos = partition_fine_level(fine_cpu, num_shards)
     p, ns = fine.num_shards, fine.shard_rows
+    iperm = np.argsort(newpos)
 
     if hier.num_levels > 1:
         coarse = Hierarchy(
@@ -241,41 +327,58 @@ def partition_hierarchy(
             restrict=hier.restrict[:-1],
             prolong=hier.prolong[:-1],
         )
-        rtop = ell_to_csr(hier.restrict[-1])  # [nc_pad x nf_pad]
+        rtop = ell_to_csr(hier.restrict[-1]).tocsc()  # [nc_pad x nf_pad]
         ptop = ell_to_csr(hier.prolong[-1])  # [nf_pad x nc_pad]
         nc_pad = hier.levels[-2].n_pad
+        n_pad = fine_cpu.n_pad
 
-        # R split by fine (col) shard -> per-shard partial products + psum
+        # permute fine axis into the new layout (pad with empty rows/cols)
+        def pad_csr_cols(m):  # [*, n_pad] -> [*, n_pad2] new order
+            m2 = sp.csr_matrix(
+                (m.data, m.indices, m.indptr), shape=m.shape).tocoo()
+            cols = newpos[m2.col]
+            return sp.coo_matrix(
+                (m2.data, (m2.row, cols)), shape=(m.shape[0], fine.n_pad2)
+            ).tocsr()
+
+        def pad_csr_rows(m):  # [n_pad, *] -> [n_pad2, *] new order
+            m2 = m.tocoo()
+            rows = newpos[m2.row]
+            return sp.coo_matrix(
+                (m2.data, (rows, m2.col)), shape=(fine.n_pad2, m.shape[1])
+            ).tocsr()
+
+        rtop2 = pad_csr_cols(rtop.tocsr())
+        ptop2 = pad_csr_rows(ptop)
+
         rv, rc = [], []
         wmax = 1
         shards_csr = []
         for s in range(p):
             lo, hi = s * ns, (s + 1) * ns
-            cols_mask = np.zeros(rtop.shape[1], bool)
-            cols_mask[lo : min(hi, rtop.shape[1])] = True
-            rs = rtop.multiply(cols_mask[None, :]).tocsr()
-            rs.eliminate_zeros()
-            shards_csr.append(rs)
-            wmax = max(wmax, int(np.diff(rs.indptr).max(initial=0)), 1)
-        for s, rs in enumerate(shards_csr):
+            cols_mask = np.zeros(fine.n_pad2, bool)
+            cols_mask[lo:hi] = True
+            rs_ = rtop2.multiply(cols_mask[None, :]).tocsr()
+            rs_.eliminate_zeros()
+            shards_csr.append(rs_)
+            wmax = max(wmax, int(np.diff(rs_.indptr).max(initial=0)), 1)
+        for s, rs_ in enumerate(shards_csr):
             v = np.zeros((nc_pad, wmax))
             c = np.zeros((nc_pad, wmax), dtype=np.int64)
-            nnzr = np.diff(rs.indptr)
-            rows = np.repeat(np.arange(rs.shape[0]), nnzr)
-            pos = np.arange(rs.nnz) - np.repeat(rs.indptr[:-1], nnzr)
-            v[rows, pos] = rs.data
-            c[rows, pos] = rs.indices - s * ns
+            nnzr = np.diff(rs_.indptr)
+            rows = np.repeat(np.arange(rs_.shape[0]), nnzr)
+            pos = np.arange(rs_.nnz) - np.repeat(rs_.indptr[:-1], nnzr)
+            v[rows, pos] = rs_.data
+            c[rows, pos] = rs_.indices - s * ns
             rv.append(v)
             rc.append(c)
 
-        # P rows by fine shard; cols = coarse ids (replicated coarse x)
         pv, pc = [], []
         wpmax = 1
         prows = []
-        n_pad = fine_cpu.n_pad
         for s in range(p):
-            lo, hi = s * ns, min((s + 1) * ns, n_pad)
-            psub = ptop[lo:hi].tocsr()
+            lo, hi = s * ns, (s + 1) * ns
+            psub = ptop2[lo:hi].tocsr()
             prows.append(psub)
             wpmax = max(wpmax, int(np.diff(psub.indptr).max(initial=0)), 1)
         for s, psub in enumerate(prows):
@@ -308,4 +411,5 @@ def partition_hierarchy(
         prolong_vals=prolong_vals,
         prolong_cols=prolong_cols,
         fine_op_cpu=fine_cpu,
+        newpos=newpos,
     )

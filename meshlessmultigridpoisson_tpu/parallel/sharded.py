@@ -1,16 +1,28 @@
-"""shard_map solve path: halo-exchanged fine level + replicated coarse cycle.
+"""shard_map solve path: exact cross-shard GS fine level + replicated coarse.
 
 One `shard_map` closure contains the WHOLE V-cycle: the fine level runs
-row-sharded (halo exchange via two edge `ppermute`s per sweep, in-shard
-exact (block, class) GS, Lagrange/norm reductions via `psum`); the coarse
-hierarchy is replicated and reuses the generic engine (mg/vcycle.py)
-verbatim inside the mapped function.  Restriction is a per-shard partial
-product psum-reduced; prolongation is purely local.
+row-sharded, the coarse hierarchy is replicated and reuses the generic
+engine (mg/vcycle.py) verbatim inside the mapped function.  Restriction is
+a per-shard partial product psum-reduced; prolongation is purely local.
 
-Structural deviations from the serial cycle (documented): the replicated
-sub-cycle recomputes its own entry residual, and level L-2's Dirichlet
-values are pinned to 0 (the partitioner hands the sub-hierarchy zeroed pin
-values), matching the reference's "coarse" pinning.
+The fine smoother is EXACT Gauss-Seidel under the frontier-phased global
+order built by the partitioner (parallel/partition.py docstring):
+
+  per sweep:  for phase p in 0..C-1:
+                  ppermute the nf-row frontier slices   (tiny: nf << Ns)
+                  scan frontier tiles; apply on shards ≡ p (mod C)
+              scan interior tiles                        (NO communication)
+
+Cross-shard reads only ever touch frontier rows (symmetric-pattern
+argument), so the exchanges move O(nf) rows instead of full halos, and the
+interior scan — the bulk of the work — runs communication-free; XLA's
+scheduler is free to overlap the next phase's ppermute with it.  No seam
+damping: the sharded sweep has the same fixed point AND a true GS
+contraction, so sharded solves converge like serial ones (test_parallel
+asserts solution parity at 1e-8).
+
+Reference semantics preserved per sweep: Lagrange row relaxes last
+(psum dot), Neumann rows re-solved exactly (grid.cpp:104-146,73-103).
 """
 
 from __future__ import annotations
@@ -34,60 +46,82 @@ from meshlessmultigridpoisson_tpu.parallel.partition import (
 AXIS = "points"
 
 
-def _halo_exchange(x: jnp.ndarray, h: int, p: int) -> jnp.ndarray:
-    """x [Ns] -> x_ext [Ns + 2h]; out-of-domain halo entries are zeros.
-
-    Production shards have h << Ns (one hop); tiny test meshes may need the
-    window context of several neighbor shards, so the exchange generalizes
-    to ceil(h/Ns) hops.
-    """
-    ns = x.shape[0]
-    hops = min(-(-h // ns), p - 1) if ns else 0
-    lefts, rights = [], []
+def _frontier_exchange(f: ShardedFineLevel, x: jnp.ndarray) -> jnp.ndarray:
+    """x [Ns] -> x_ext [Ns + 2*hops*nf]: own rows, then per hop distance d
+    the left(-d) and right(+d) neighbors' frontier slices (zeros off-end)."""
+    p = f.num_shards
+    nf = f.frontier_rows
+    hops = f.phases - 1
+    if nf == 0 or hops == 0:
+        return x
+    xf = x[:nf]
+    parts = [x]
     for d in range(1, hops + 1):
-        lefts.append(lax.ppermute(x, AXIS, [(i, i + d) for i in range(p - d)]))
-        rights.append(lax.ppermute(x, AXIS, [(i + d, i) for i in range(p - d)]))
-    zero_pad = jnp.zeros(max(h - hops * ns, 0), x.dtype)
-    left_ctx = jnp.concatenate([zero_pad] + lefts[::-1]) if lefts else zero_pad
-    right_ctx = jnp.concatenate(rights + [zero_pad]) if rights else zero_pad
-    return jnp.concatenate([left_ctx[-h:] if h else left_ctx, x,
-                            right_ctx[:h]])
+        parts.append(lax.ppermute(xf, AXIS, [(i, i + d) for i in range(p - d)]))
+        parts.append(lax.ppermute(xf, AXIS, [(i + d, i) for i in range(p - d)]))
+    return jnp.concatenate(parts)
 
 
-def _local_sweep(f: ShardedFineLevel, x_ext, x_lag, b):
-    """In-shard exact (block, class) GS sweep against frozen halos."""
+def _scan_tiles(f: ShardedFineLevel, x_ext, x_lag, b, t0: int, t1: int, gate):
+    """Exact in-shard GS over tiles [t0, t1); updates applied where ``gate``.
+
+    x_ext own rows live at [0, Ns); tiles are class_size-row independent
+    sets (recolored per group by the partitioner).
+    """
     s = f.class_size
     ns = f.shard_rows
-    h = f.halo
     w = f.width
-    ntiles = ns // s
-    vals_t = f.vals.reshape(ntiles, s, w)
-    lcols_t = f.lcols_ext.reshape(ntiles, s, w)
-    diag_t = f.diag.reshape(ntiles, s)
-    b_t = b.reshape(ntiles, s)
-    m_t = f.smooth_mask.reshape(ntiles, s)
-    w_t = f.omega_w.reshape(ntiles, s)
-    lagc_t = f.lag_col.reshape(ntiles, s)
+    sl = slice(t0 * s, t1 * s)
+    vals_t = f.vals[sl].reshape(-1, s, w)
+    lcols_t = f.lcols_ext[sl].reshape(-1, s, w)
+    diag_t = f.diag[sl].reshape(-1, s)
+    b_t = b[sl].reshape(-1, s)
+    m_t = f.smooth_mask[sl].reshape(-1, s)
+    w_t = f.omega_w[sl].reshape(-1, s)
+    lagc_t = f.lag_col[sl].reshape(-1, s)
 
     def step(x_ext, args):
         vals, lc, d, bb, m, ww, lagc, t = args
-        pos0 = h + t * s
+        pos0 = t0 * s + t * s
         xt = lax.dynamic_slice(x_ext, (pos0,), (s,))
         y = jnp.sum(vals * jnp.take(x_ext, lc, axis=0), axis=1) + lagc * x_lag
         xi = (1.0 - ww) * xt + (ww / d) * (bb - (y - d * xt))
-        x_ext = lax.dynamic_update_slice(x_ext, jnp.where(m > 0, xi, xt), (pos0,))
+        apply = jnp.logical_and(m > 0, gate)
+        x_ext = lax.dynamic_update_slice(
+            x_ext, jnp.where(apply, xi, xt), (pos0,))
         return x_ext, None
 
-    tids = jnp.arange(ntiles, dtype=jnp.int32)
+    tids = jnp.arange(t1 - t0, dtype=jnp.int32)
     x_ext, _ = lax.scan(
         step, x_ext, (vals_t, lcols_t, diag_t, b_t, m_t, w_t, lagc_t, tids)
     )
     return x_ext
 
 
+def _gs_sweep_sharded(f: ShardedFineLevel, x, x_lag, b):
+    """One exact global GS sweep (frontier phases then interior)."""
+    s = f.class_size
+    ns = f.shard_rows
+    nf = f.frontier_rows
+    ntiles = ns // s
+    nft = nf // s
+    me = lax.axis_index(AXIS)
+    # frontier phases
+    for ph in range(f.phases if nf else 0):
+        x_ext = _frontier_exchange(f, x)
+        gate = (me % f.phases) == ph
+        x_ext = _scan_tiles(f, x_ext, x_lag, b, 0, nft, gate)
+        x = x_ext[:ns]
+    # interior phase: no cross-shard reads; zero-pad the ext tail
+    pad = jnp.zeros(2 * (f.phases - 1) * nf, x.dtype)
+    x_ext = jnp.concatenate([x, pad]) if pad.size else x
+    x_ext = _scan_tiles(f, x_ext, x_lag, b, nft, ntiles, True)
+    return x_ext[:ns]
+
+
 def _bound_eval_local(f: ShardedFineLevel, x, b):
     """Neumann row-solve on locally owned boundary rows."""
-    x_ext = _halo_exchange(x, f.halo, f.num_shards)
+    x_ext = _frontier_exchange(f, x)
     y = jnp.sum(f.bound_vals * jnp.take(x_ext, f.bound_lcols_ext, axis=0), axis=1)
     safe = jnp.minimum(f.bound_rows, f.shard_rows - 1)
     xr = jnp.take(x, safe)
@@ -104,9 +138,7 @@ def _smooth_sharded(f: ShardedFineLevel, x, x_lag, b, b_lag, iters=None):
     iters = f.iters if iters is None else iters
     w = f.omega
     for _ in range(iters):
-        x_ext = _halo_exchange(x, f.halo, f.num_shards)
-        x_ext = _local_sweep(f, x_ext, x_lag, b)
-        x = lax.dynamic_slice(x_ext, (f.halo,), (f.shard_rows,))
+        x = _gs_sweep_sharded(f, x, x_lag, b)
         if f.has_lagrange:
             x_lag = (1.0 - w) * x_lag + w * (b_lag - _psum(jnp.vdot(f.lag_row, x)))
         x = _bound_eval_local(f, x, b)
@@ -114,7 +146,7 @@ def _smooth_sharded(f: ShardedFineLevel, x, x_lag, b, b_lag, iters=None):
 
 
 def _matvec_sharded(f: ShardedFineLevel, x, x_lag):
-    x_ext = _halo_exchange(x, f.halo, f.num_shards)
+    x_ext = _frontier_exchange(f, x)
     y = jnp.sum(f.vals * jnp.take(x_ext, f.lcols_ext, axis=0), axis=-1)
     if f.has_lagrange:
         y = y + f.lag_col * x_lag
@@ -154,15 +186,11 @@ def _zeroed_dirichlet_hier(hier: vc.Hierarchy) -> vc.Hierarchy:
 
 
 def make_sharded_vcycle(shier: ShardedHierarchy, mesh: Mesh):
-    """Returns (vcycle_fn, state_sharding helpers).
-
-    ``vcycle_fn(xf, x_lag, bf, b_lag) -> (xf, x_lag, resid)`` with
+    """Returns vcycle_fn(xf, x_lag, bf, b_lag) -> (xf, x_lag, resid) with
     xf/bf sharded [P*Ns] over the mesh axis; Lagrange scalars replicated.
     Coarse-level sources/solutions are internal (recomputed each cycle from
-    the restriction, like the reference).
-    """
+    the restriction, like the reference)."""
     fine = shier.fine
-    p, ns, h = fine.num_shards, fine.shard_rows, fine.halo
     coarse = _zeroed_dirichlet_hier(shier.coarse)
     has_coarse = len(coarse.levels) > 0
 
@@ -258,7 +286,7 @@ def shard_vector(shier: ShardedHierarchy, mesh: Mesh, v_logical: np.ndarray):
     """Scatter a logical fine vector to the sharded padded layout."""
     op = shier.fine_op_cpu
     v = np.zeros(shier.fine.n_pad2)
-    v[np.asarray(op.row_map)] = np.asarray(v_logical)
+    v[shier.newpos[np.asarray(op.row_map)]] = np.asarray(v_logical)
     return jax.device_put(
         jnp.asarray(v), NamedSharding(mesh, P(AXIS))
     )
@@ -268,4 +296,4 @@ def unshard_vector(shier: ShardedHierarchy, v_sharded) -> np.ndarray:
     """Gather back to logical order."""
     op = shier.fine_op_cpu
     full = np.asarray(v_sharded)
-    return full[np.asarray(op.row_map)]
+    return full[shier.newpos[np.asarray(op.row_map)]]

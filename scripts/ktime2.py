@@ -87,9 +87,9 @@ def main():
     from meshlessmultigridpoisson_tpu.ops.ell import spmv as spmv_oracle
     kell6 = k6.prepare_kernel_ell6(ell)
     tb6 = kell6.table_bytes
-    print(f"v6: buckets={[(b.windows, b.nblocks_pad) for b in kell6.buckets]} "
+    print(f"v6: segments={[(s.windows, s.nblocks) for s in kell6.segments]} "
           f"bytes={tb6/1e6:.0f}MB vs v4 {tb4/1e6:.0f}MB "
-          f"pad={tb6/ (nnz*6):.2f}x(6B)", flush=True)
+          f"pad={tb6/(nnz*6):.2f}x(6B)", flush=True)
     y6 = np.asarray(jax.jit(
         lambda xx, kk: k6.spmv_tpu6(kk, xx))(x, kell6))[:4096]
     import jax.numpy as _jnp
@@ -107,6 +107,12 @@ def main():
            lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
                kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
            x2, kell6, kinvT6, b2, work_bytes=tb6s, nnz=nnz)
+    kinvT6b = k6.pack_oneshot_K6(kell6, np.asarray(kinvT), dtype=jnp.bfloat16)
+    tb6b = tb6 + sum(kk.size * 2 for kk in kinvT6b)
+    report("v6 sweep fast",
+           lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
+               kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+           x2, kell6, kinvT6b, b2, work_bytes=tb6b, nnz=nnz)
 
     # ---- v2 for comparison ----
     kell2 = prepare_kernel_ell2(ell)

@@ -1,0 +1,146 @@
+"""v6 segment-ragged kernel tests: layout invariants + INTERPRET-MODE
+oracles.
+
+Unlike test_kernels4 (host-side layout math only), these run the actual
+Pallas kernels in interpreter mode on CPU, asserting
+
+  * spmv_tpu6 == the windowed-ELL XLA oracle (ops/ell.spmv) in f32, and
+  * sor_sweep_tpu6 == the one-shot Gauss-Seidel reference recurrence
+    x + K (b - A x - lag*xl) applied block-by-block in storage order with
+    fresh earlier-block values (exactly reference grid.cpp:104-146 under
+    the (block, class, slot) permutation),
+
+so kernel regressions are caught in CI without a live TPU
+(scripts/verify_tpu.py remains the on-device check).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+from jax.experimental.pallas import tpu as pltpu
+
+from meshlessmultigridpoisson_tpu.ops.ell import ell_from_csr, spmv
+from meshlessmultigridpoisson_tpu.ops import kernels6 as K6
+from meshlessmultigridpoisson_tpu.ops.kernels4 import build_oneshot_K
+
+
+@pytest.fixture(scope="module")
+def pattern():
+    from scipy.spatial import cKDTree
+    from meshlessmultigridpoisson_tpu.geometry.ordering import kd_tile_ordering
+
+    n_side, k = 36, 28  # 1296 rows -> 11 blocks (exercises the MB tail)
+    rng = np.random.default_rng(3)
+    xy = np.stack(
+        np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij"), -1
+    ).reshape(-1, 2).astype(np.float64)
+    xy += rng.uniform(-0.3, 0.3, xy.shape)
+    xy = xy[kd_tile_ordering(xy, leaf=128)]
+    nbr = cKDTree(xy).query(xy, k=k)[1]
+    n = xy.shape[0]
+    vals = rng.standard_normal((n, k))
+    vals[:, 0] = k + 1.0
+    rows = np.repeat(np.arange(n), k)
+    a = sp.coo_matrix((vals.ravel(), (rows, nbr.ravel())), shape=(n, n)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+@pytest.fixture(scope="module")
+def kell(pattern):
+    return K6.prepare_kernel_ell6(ell_from_csr(pattern, block_rows=128),
+                                  max_segments=3)
+
+
+def test_segments_cover_blocks(kell):
+    covered = 0
+    for sg in kell.segments:
+        assert sg.block_base == covered or covered > kell.nblocks
+        assert sg.nblocks % K6.MB == 0
+        covered = sg.block_base + sg.nblocks
+    assert covered >= kell.nblocks
+
+
+def test_tile_row_patch_invariant(kell):
+    for sg in kell.segments:
+        lc = np.asarray(sg.lcols).astype(np.int32)
+        hi = lc >> 7
+        assert (hi == hi[:, :1]).all(), "tile row reads more than one patch"
+        assert hi.max() < K6.GMAX
+
+
+def test_spmv6_interpret_matches_oracle(pattern, kell):
+    ell = ell_from_csr(pattern, block_rows=128)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(ell.nrows_pad), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(K6.spmv_tpu6(kell, x))
+    yref = np.asarray(spmv(ell.astype(jnp.float32), x))
+    np.testing.assert_allclose(y[: ell.nrows], yref[: ell.nrows],
+                               rtol=2e-5, atol=1e-5)
+
+
+def _oneshot_oracle(ell, kinvT, x2, xl, b2, lagc2):
+    """numpy reference: per block in storage order, with fresh earlier
+    blocks, x_b += K_b (b_b - (A x)_b - lagc_b * xl)."""
+    from meshlessmultigridpoisson_tpu.ops.ell import global_cols
+
+    gcols = np.asarray(global_cols(ell))
+    vals = np.asarray(ell.vals, np.float64)
+    x = np.asarray(x2, np.float64).reshape(-1)
+    b = np.asarray(b2, np.float64).reshape(-1)
+    lagc = np.asarray(lagc2, np.float64).reshape(-1)
+    K = np.asarray(kinvT, np.float64)  # [nb,128,128] TRANSPOSED
+    nb = x.size // 128
+    for bi in range(nb):
+        sl = slice(bi * 128, (bi + 1) * 128)
+        y = (vals[sl] * x[gcols[sl]]).sum(axis=1)
+        tvec = b[sl] - y - lagc[sl] * xl
+        x[sl] = x[sl] + tvec @ K[bi]
+    return x
+
+
+def test_sweep6_interpret_matches_oneshot_oracle(pattern, kell):
+    ell = ell_from_csr(pattern, block_rows=128)
+    rng = np.random.default_rng(7)
+    nb = kell.nblocks
+    omega = np.full(ell.nrows_pad, 1.4)
+    smask = np.ones(ell.nrows_pad)
+    smask[: ell.nrows // 7] = 0.0  # some non-smoothed rows
+    kinvT = build_oneshot_K(ell, omega, smask)
+    kinv_sg = K6.pack_oneshot_K6(kell, kinvT)
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    lagc2 = jnp.asarray(rng.standard_normal((nb, 128)) * 0.01, jnp.float32)
+    xl = 0.37
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K6.sor_sweep_tpu6(
+            kell, kinv_sg, x2, jnp.asarray(xl, jnp.float32), b2, lagc2))
+    ref = _oneshot_oracle(ell, kinvT, x2, xl, b2, lagc2)
+    np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+    # masked rows never move
+    moved = np.abs(out.reshape(-1) - np.asarray(x2).reshape(-1))
+    assert moved[: ell.nrows // 7].max() == 0.0
+
+
+def test_sweep6_fixed_point(pattern, kell):
+    """At the exact solution the sweep is a no-op (fixed-point exactness,
+    independent of K precision)."""
+    ell = ell_from_csr(pattern, block_rows=128)
+    rng = np.random.default_rng(9)
+    nb = kell.nblocks
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    kinv_sg = K6.pack_oneshot_K6(kell, kinvT)
+    xsol = rng.standard_normal(ell.nrows_pad)
+    b = np.asarray(spmv(ell.astype(jnp.float64), jnp.asarray(xsol)))
+    x2 = jnp.asarray(xsol.reshape(nb, 128), jnp.float32)
+    b2 = jnp.asarray(b.reshape(nb, 128), jnp.float32)
+    lagc2 = jnp.zeros((nb, 128), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K6.sor_sweep_tpu6(
+            kell, kinv_sg, x2, jnp.zeros((), jnp.float32), b2, lagc2))
+    # f32 representation of the fixed point moves only at rounding level
+    np.testing.assert_allclose(out, np.asarray(x2), rtol=0, atol=5e-4)
