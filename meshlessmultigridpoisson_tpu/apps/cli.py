@@ -24,6 +24,10 @@ def _common(p):
                    choices=["square", "square_with_circle",
                             "concentric_circles", "box3d"])
     p.add_argument("--sizes", type=int, nargs="+", default=[600, 2500])
+    p.add_argument("--msh", nargs="+", default=None, metavar="FILE",
+                   help="Gmsh v2 .msh file(s), one per level (coarse->fine); "
+                        "replaces generated clouds (the reference's own path, "
+                        "testing_functions.cpp:333)")
     p.add_argument("--deg", type=int, default=4)
     p.add_argument("--k", type=int, default=1, help="manufactured wavenumber")
     p.add_argument("--neumann", action="store_true")
@@ -85,10 +89,24 @@ def main(argv=None):
     pp = sub.add_parser("preprocess", help="build + save a setup bundle")
     _common(pp)
 
+    for p in (ps, pn, pw, pb, pp):
+        p.add_argument("--platform", default="cpu",
+                       choices=["cpu", "tpu", "default"],
+                       help="JAX backend: cpu (f64, exact reference parity; "
+                            "default) | tpu (f32 Pallas kernel path via the "
+                            "mixed-precision solver) | default (whatever JAX "
+                            "picks)")
+
     args = ap.parse_args(argv)
 
     import jax
 
+    if args.platform == "cpu":
+        # an installed TPU plugin (sitecustomize) overrides JAX_PLATFORMS;
+        # re-pin explicitly, as tests/conftest.py does
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        jax.config.update("jax_platforms", "tpu")
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
@@ -116,6 +134,7 @@ def _build_problem(args):
     return make_poisson_problem(
         args.geom, sizes=list(args.sizes), poly_deg=args.deg, k1=args.k,
         neumann=args.neumann, seed=args.seed,
+        msh_files=getattr(args, "msh", None),
     )
 
 
@@ -130,8 +149,9 @@ def _solve(args):
         prob = _build_problem(args)
     rec = SolveRecord(
         name=f"poisson-{args.geom}",
-        config=dict(sizes=list(args.sizes), deg=args.deg, k=args.k,
-                    neumann=args.neumann, solver=args.solver, tol=args.tol),
+        config=dict(sizes=[c.n for c in prob.clouds], deg=args.deg, k=args.k,
+                    neumann=args.neumann, solver=args.solver, tol=args.tol,
+                    msh=getattr(args, "msh", None)),
     )
     with Timer() as t:
         if args.cycles:
@@ -207,16 +227,21 @@ def _ns(args):
     )
     with Timer() as t:
         hist = []
+        err_hist = []
         for i in range(args.steps):
             state, res = fs.timestep(prob, state, ppe_solver="bicgstab")
             hist.append(float(res))
             if i % 50 == 0:
                 err = fs.u_error_vs_kovasznay(prob, state)
+                err_hist.append([i, float(err)])
                 print(f"step {i}: fs_res={hist[-1]:.3e} u_err={err:.3e}",
                       file=sys.stderr, flush=True)
     rec.wall_time_s = t.elapsed
     rec.residual_history = hist[:: max(1, len(hist) // 500)]
     rec.l1_error = fs.u_error_vs_kovasznay(prob, state)
+    rec.final_residual = hist[-1]
+    rec.extra["u_err_history"] = err_hist
+    rec.extra["final_u_l1_error_vs_kovasznay"] = rec.l1_error
     rec.cycles = args.steps
     print(rec.to_json())
     if args.out:
@@ -283,6 +308,7 @@ def _probe(args):
         prob = make_poisson_problem(
             args.geom, sizes=[max(args.sizes)], poly_deg=args.deg, k1=args.k,
             neumann=args.neumann, seed=args.seed,
+            msh_files=[args.msh[-1]] if getattr(args, "msh", None) else None,
         )
     op = prob.hierarchy.finest
     x0 = apply_dirichlet(op, prob.state0.x[-1], coarse=False)

@@ -135,16 +135,30 @@ def make_poisson_problem(
     block_rows: int = 256,
     config: MultigridConfig | None = None,
     ordering: str = "rcm",
+    msh_files: list[str] | None = None,
 ) -> PoissonProblem:
-    """Replicates gen_mg_param + run_mg_sim setup (testing_functions.cpp:328-395)."""
+    """Replicates gen_mg_param + run_mg_sim setup (testing_functions.cpp:328-395).
+
+    ``msh_files`` (coarse -> fine, one per level) loads real Gmsh v2 meshes
+    instead of generating clouds — the reference's own grid-construction
+    path (genGmshGrid* load one .msh per level, testing_functions.cpp:333).
+    ``geomtype`` then only selects the manufactured solution / BC data.
+    """
     k2 = k1 if k2 is None else k2
-    if sizes is None:
-        sizes = list(REFERENCE_MG_SIZES[geomtype][:num_levels])
+    if msh_files:
+        from meshlessmultigridpoisson_tpu.geometry.msh import pointcloud_from_msh
+
+        clouds = [pointcloud_from_msh(p, geomtype=geomtype) for p in msh_files]
+        clouds.sort(key=lambda c: c.n)  # reference sorts by size, multigrid.cpp:116
+        sizes = [c.n for c in clouds]
+    else:
+        if sizes is None:
+            sizes = list(REFERENCE_MG_SIZES[geomtype][:num_levels])
+        clouds = [make_cloud(geomtype, n, seed=seed + i) for i, n in enumerate(sizes)]
     if config is None:
         config = MultigridConfig(
             num_levels=len(sizes), fine_poly_deg=poly_deg, coarse_poly_deg=3
         )
-    clouds = [make_cloud(geomtype, n, seed=seed + i) for i, n in enumerate(sizes)]
     bc_types = ["neumann" if neumann else "dirichlet"] * max(
         len(c.boundaries) for c in clouds
     )
