@@ -84,7 +84,10 @@ def main(argv=None):
     _common(pb)
     pb.add_argument("--sweeps", type=int, default=1000)
     pb.add_argument("--cond", action="store_true",
-                    help="also estimate cond(A) (Grid::cond_L, grid.cpp:152)")
+                    help="also estimate cond(A) of the effectively-solved "
+                         "(pinned-Dirichlet) system; the reference's cond_L "
+                         "(grid.cpp:152) conditions the raw assembled matrix "
+                         "instead, so numbers differ on Dirichlet problems")
 
     pp = sub.add_parser("preprocess", help="build + save a setup bundle")
     _common(pp)

@@ -125,13 +125,25 @@ def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
     )
 
 
-def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
-    """Repack a CPU-built LevelOperator for TPU kernels (host-side)."""
+def tpu_level_from_operator(
+    op: LevelOperator, dtype=jnp.float32, use_v6: bool | None = None
+) -> TpuLevel:
+    """Repack a CPU-built LevelOperator for TPU kernels (host-side).
+
+    ``use_v6``: None (default) auto-enables the v6 segment-ragged kernels +
+    one-shot GS matrices whenever the layout supports them (class_size 8);
+    False forces the v2 path — the one-shot K tensor costs 512 B/row of
+    extra HBM streaming per sweep and a chunked host-side inversion pass at
+    setup, which a memory-constrained deployment may want to skip on levels
+    where sweep time is negligible.
+    """
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
     # v6 path needs 8-row classes in natural order (lane//8) and a
     # 128-row-aligned square operator; anything else falls back to v2.
     kell6, kinvT_sg = None, None
-    if op.class_size == 8:
+    if use_v6 is None:
+        use_v6 = op.class_size == 8
+    if use_v6 and op.class_size == 8:
         try:
             kell6 = prepare_kernel_ell6(op.A, dtype=dtype)
             kinvT_sg = pack_oneshot_K6(
@@ -182,9 +194,13 @@ def tpu_level_from_operator(op: LevelOperator, dtype=jnp.float32) -> TpuLevel:
     )
 
 
-def tpu_hierarchy(hier: Hierarchy, dtype=jnp.float32) -> Hierarchy:
+def tpu_hierarchy(
+    hier: Hierarchy, dtype=jnp.float32, use_v6: bool | None = None
+) -> Hierarchy:
     """Convert a CPU hierarchy to the TPU backend (transfer ops included)."""
-    levels = tuple(tpu_level_from_operator(op, dtype) for op in hier.levels)
+    levels = tuple(
+        tpu_level_from_operator(op, dtype, use_v6=use_v6) for op in hier.levels
+    )
     restrict = tuple(prepare_kernel_ell2(r, dtype=dtype) for r in hier.restrict)
     prolong = tuple(prepare_kernel_ell2(p, dtype=dtype) for p in hier.prolong)
     return Hierarchy(levels=levels, restrict=restrict, prolong=prolong)

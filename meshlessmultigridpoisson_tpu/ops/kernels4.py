@@ -572,14 +572,21 @@ def build_oneshot_K(
     lane = np.arange(LANES)
     lower = (lane[:, None] // class_size) > (lane[None, :] // class_size)
     m2 = m.reshape(nb, LANES)
-    M = abb * lower[None] * m2[:, :, None] * m2[:, None, :]
-    M[:, lane, lane] = np.where(
-        m2, diag.reshape(nb, LANES) / np.maximum(w.reshape(nb, LANES), 1e-30),
-        1.0,
-    )
-    K = np.linalg.inv(M)
-    K *= m2[:, :, None]  # masked rows never move
-    return K.transpose(0, 2, 1).copy()  # transposed for [1,128] @ [128,128]
+    diag2 = diag.reshape(nb, LANES)
+    w2 = w.reshape(nb, LANES)
+    # invert in chunks: the [nb,128,128] f64 temporaries would otherwise
+    # transiently cost ~2 GB at 1M rows on the 2-core setup host
+    K = np.empty((nb, LANES, LANES), dtype=np.float64)
+    step = 512
+    for c0 in range(0, nb, step):
+        c1 = min(c0 + step, nb)
+        M = abb[c0:c1] * lower[None] * m2[c0:c1, :, None] * m2[c0:c1, None, :]
+        M[:, lane, lane] = np.where(
+            m2[c0:c1], diag2[c0:c1] / np.maximum(w2[c0:c1], 1e-30), 1.0
+        )
+        K[c0:c1] = np.linalg.inv(M).transpose(0, 2, 1)
+    K *= m2[:, None, :]  # masked rows never move (note: K is transposed)
+    return K  # transposed for [1,128] @ [128,128]
 
 
 def _sweep5_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,

@@ -394,7 +394,10 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x; returns [nrows_pad] in row order."""
     dtype = kell.segments[0].vals.dtype
     xr = kell.x_rows
-    xp = jnp.zeros(xr * LANES, dtype).at[: x.shape[0]].set(x.astype(dtype))
+    # x may carry row-padding beyond the column space (e.g. 256-row blocks
+    # pad rows past round_up(ncols,128)); columns never reference it
+    xc = x[: xr * LANES]
+    xp = jnp.zeros(xr * LANES, dtype).at[: xc.shape[0]].set(xc.astype(dtype))
     x2 = xp.reshape(xr, LANES)
     lanesel = jnp.asarray(_lanesel())
     groupsel = jnp.asarray(_groupsel())

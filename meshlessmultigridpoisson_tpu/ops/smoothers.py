@@ -195,11 +195,21 @@ def zero_dirichlet(op, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def condition_estimate(op) -> float:
-    """1 / rcond of the assembled operator (Grid::cond_L, grid.cpp:152-155).
+    """1 / rcond of the EFFECTIVELY-SOLVED operator (cf. Grid::cond_L,
+    grid.cpp:152-155).
 
     The reference densifies and LU-factorizes; here scipy's 1-norm condition
     estimator on the sparse matrix (exact enough for the diagnostics the
     reference prints, without the O(n^3) densify).
+
+    Deliberate deviation from grid.cpp:152: the reference conditions the RAW
+    assembled matrix, which keeps full Laplacian rows at Dirichlet points
+    (grid.cpp:553-565 assembles weights for every bcFlag != 2).  Since the
+    smoother never relaxes those rows — they are pinned by boundaryOp
+    (grid.cpp:42-51) — this estimate replaces them with identity rows and
+    reports the conditioning of the system actually being solved.  Numbers
+    differ from the reference's on Dirichlet problems (ours exclude the
+    pinned rows' spectrum).
     """
     import numpy as _np
     import scipy.sparse.linalg as _spla

@@ -125,6 +125,37 @@ def test_sweep6_interpret_matches_oneshot_oracle(pattern, kell):
     assert moved[: ell.nrows // 7].max() == 0.0
 
 
+def test_production_default_block_rows_256(pattern):
+    """The production layout (build_level_operator defaults block_rows=256)
+    through BOTH v6 kernels vs their oracles — guards the 256-row packing
+    that no other test exercises (advisor round-1 finding)."""
+    ell = ell_from_csr(pattern, block_rows=256)
+    kell = K6.prepare_kernel_ell6(ell, max_segments=3)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(ell.nrows_pad), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(K6.spmv_tpu6(kell, x))
+    yref = np.asarray(spmv(ell.astype(jnp.float32), x))
+    np.testing.assert_allclose(y[: ell.nrows], yref[: ell.nrows],
+                               rtol=2e-5, atol=1e-5)
+
+    nb = ell.nrows_pad // 128
+    omega = np.full(ell.nrows_pad, 1.4)
+    smask = np.ones(ell.nrows_pad)
+    smask[: ell.nrows // 5] = 0.0
+    kinvT = build_oneshot_K(ell, omega, smask)
+    kinv_sg = K6.pack_oneshot_K6(kell, kinvT)
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    lagc2 = jnp.asarray(rng.standard_normal((nb, 128)) * 0.01, jnp.float32)
+    xl = -0.21
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K6.sor_sweep_tpu6(
+            kell, kinv_sg, x2, jnp.asarray(xl, jnp.float32), b2, lagc2))
+    ref = _oneshot_oracle(ell, kinvT, x2, xl, b2, lagc2)
+    np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sweep6_fixed_point(pattern, kell):
     """At the exact solution the sweep is a no-op (fixed-point exactness,
     independent of K precision)."""
