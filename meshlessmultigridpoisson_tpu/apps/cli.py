@@ -49,6 +49,10 @@ def main(argv=None):
                     help="fixed V-cycle count instead of solving to --tol")
     ps.add_argument("--solver", default="bicgstab",
                     choices=["bicgstab", "vcycle"])
+    ps.add_argument("--profile", action="store_true",
+                    help="attach a per-level kernel profile (sweep/matvec "
+                         "ms, nnz/s, modeled GB/s) and effective solve "
+                         "throughput to the record")
 
     pn = sub.add_parser("ns", help="fractional-step Navier-Stokes (Kovasznay)")
     pn.add_argument("--sizes", type=int, nargs="+",
@@ -177,6 +181,14 @@ def _solve(args):
     rec.wall_time_s = t.elapsed
     rec.extra["setup_time_s"] = t_setup.elapsed
     rec.l1_error = l1_error(prob, state.x[-1])
+    if getattr(args, "profile", False):
+        from meshlessmultigridpoisson_tpu.utils.profiling import (
+            attach_throughput,
+            profile_hierarchy,
+        )
+
+        rec.extra["per_level"] = profile_hierarchy(prob.hierarchy)
+        attach_throughput(rec, prob.hierarchy)
     if args.write_solution:
         _write_solution(args.write_solution, prob, state.x[-1])
     return rec

@@ -18,9 +18,19 @@ no padding waste in the kernel.
 The cap S must be a sublane multiple (8).  Greedy balanced assignment: a row
 joins the least-filled non-conflicting class with space; if none exists the
 spill is resolved by a local swap search, and ultimately by accepting a
-conflict pair with the weakest coupling (tracked and reported — in practice
-spills are zero for reference configs since in-block degree ~ stencil/3 is
-far below NC).
+conflict pair with the weakest coupling (tracked and reported).
+
+At deg <= 4 spills are zero (in-block degree ~ stencil/3 << NC).  At deg 6
+the mean in-block degree (~50) exceeds the 32 classes available in dense
+256-row blocks, so an equitable conflict-free coloring cannot exist and a
+few hundred conflicting pairs remain per 10k rows (honest post-repair
+counts).  Their convergence cost is MEASURED and negligible
+(scripts/rho_delta.py, results/rho_delta_r2.json): the class-parallel
+sweep's asymptotic rate differs from exact sequential GS in the identical
+order by |drho| <= 9.3e-3 (<= 0.7% relative) on the worst tested config,
+and the TWO-GRID cycle rate — what governs solver iterations — by
+<= 1.1e-2 with the framework side at least as fast on every measured
+config.  See PARITY.md deviation 9.
 """
 
 from __future__ import annotations

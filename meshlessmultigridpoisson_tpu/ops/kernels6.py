@@ -563,6 +563,38 @@ def sor_sweep_tpu6(
     return x2
 
 
+def pad_segment_windows(kell: KernelEll6, windows: int) -> KernelEll6:
+    """Pad a SINGLE-segment layout to a larger per-group window count.
+
+    Used by the domain partitioner (parallel/partition.py): shard_map needs
+    identical table shapes and kernel constants on every device, so each
+    shard's single-segment layout is padded to the max W across shards.
+    Padding tile rows carry zero values and point at scratch slot 0 (always
+    loaded), preserving the one-patch-per-tile-row gather invariant.
+    """
+    assert len(kell.segments) == 1, "pad_segment_windows: single-segment only"
+    sg = kell.segments[0]
+    if windows == sg.windows:
+        return kell
+    assert windows > sg.windows
+    nbk, W0, W1 = sg.nblocks, sg.windows, windows
+
+    def pad(v, fill):
+        a = np.asarray(v).reshape(nbk, 8, W0, LANES)
+        out = np.full((nbk, 8, W1, LANES), fill, dtype=a.dtype)
+        out[:, :, :W0] = a
+        return jnp.asarray(out.reshape(nbk * 8 * W1, LANES))
+
+    sg2 = Segment(
+        vals=pad(sg.vals, 0.0),
+        lcols=pad(sg.lcols, 0),
+        windows=W1,
+        nblocks=nbk,
+        block_base=sg.block_base,
+    )
+    return dataclasses.replace(kell, segments=(sg2,))
+
+
 def pack_oneshot_K6(kell: KernelEll6, kinvT: np.ndarray, dtype=jnp.float32):
     """Slice [nb,128,128] one-shot matrices into per-segment padded arrays."""
     out = []

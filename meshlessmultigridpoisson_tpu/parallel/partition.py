@@ -57,10 +57,12 @@ def _round_up(x: int, m: int) -> int:
         "dirichlet_values", "neumann_values", "omega_w", "lag_col", "lag_row",
         "bound_rows", "bound_vals", "bound_lcols_ext", "bound_diag",
         "cond_rows", "cond_vals", "cond_lcols_ext",
+        "k6_vals", "k6_lcols", "k6_pids", "k6_perm", "k6_kinvT",
     ),
     meta_fields=(
         "n", "n_pad2", "num_shards", "shard_rows", "frontier_rows", "phases",
         "block_rows", "class_size", "width", "has_lagrange", "omega", "iters",
+        "k6_windows", "k6_nblocks",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +95,14 @@ class ShardedFineLevel:
     cond_rows: jnp.ndarray  # [P, mc]
     cond_vals: jnp.ndarray  # [P, mc, wc]
     cond_lcols_ext: jnp.ndarray  # [P, mc, wc]
+    # per-shard v6 Pallas kernel tables (None when not built) — single
+    # uniform segment, padded to the max window count across shards so the
+    # SPMD program is identical on every device
+    k6_vals: jnp.ndarray | None  # [P, nbk*8*W, 128] f32
+    k6_lcols: jnp.ndarray | None  # [P, nbk*8*W, 128] i16
+    k6_pids: jnp.ndarray | None  # [P, nb*GMAX] i32
+    k6_perm: jnp.ndarray | None  # [P, nb, 128] i32
+    k6_kinvT: jnp.ndarray | None  # [P, nbk, 128, 128] f32 (interior-masked)
     n: int
     n_pad2: int
     num_shards: int
@@ -105,6 +115,8 @@ class ShardedFineLevel:
     has_lagrange: bool
     omega: float
     iters: int
+    k6_windows: int  # W (0 when kernel tables absent)
+    k6_nblocks: int  # nbk = round_up(Ns/128, MB)
 
     @property
     def halo(self) -> int:  # ext rows beyond own (both sides)
@@ -113,6 +125,10 @@ class ShardedFineLevel:
     @property
     def ext_rows(self) -> int:
         return self.shard_rows + self.halo
+
+    @property
+    def has_kernels(self) -> bool:
+        return self.k6_vals is not None
 
 
 def _compact_to_shards(rows, vals, gcols, diag, p, ns, newpos, ext_of):
@@ -137,14 +153,76 @@ def _compact_to_shards(rows, vals, gcols, diag, p, ns, newpos, ext_of):
     return out_rows, out_vals, out_cols, out_diag
 
 
+def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
+                         ext_rows):
+    """Per-shard v6 kernel tables + interior-masked one-shot K, padded to
+    uniform shapes across shards (see ShardedFineLevel docstring).
+
+    The one-shot K treats frontier rows as constants (mask zero): during
+    the communication-free interior pass the kernel sweeps every own block
+    but only interior rows move — identical semantics to the tile scan it
+    replaces (sharded._scan_tiles over [nft, ntiles)).
+    Returns None if any shard's layout is unsupported (caller falls back
+    to the XLA scan path).
+    """
+    from meshlessmultigridpoisson_tpu.ops import kernels6 as K6
+    from meshlessmultigridpoisson_tpu.ops.ell import ell_from_csr
+    from meshlessmultigridpoisson_tpu.ops.kernels4 import (
+        Ell4Unsupported,
+        build_oneshot_K,
+    )
+
+    if ns % 128 != 0:
+        return None
+    ext_pad = _round_up(max(ext_rows, 1), 128)
+    kells, Ks = [], []
+    interior = (np.arange(ns) >= nf).astype(np.float64)
+    try:
+        for s in range(p):
+            v = np.asarray(vals[s], np.float64)
+            c = np.asarray(lcols_ext[s], np.int64)
+            real = v != 0.0
+            rr = np.repeat(np.arange(ns), v.shape[1])[real.ravel()]
+            cc = c.ravel()[real.ravel()]
+            csr = sp.coo_matrix(
+                (v[real], (rr, cc)), shape=(ns, ext_pad)
+            ).tocsr()
+            csr.sum_duplicates()
+            ell = ell_from_csr(csr, block_rows=128)
+            kells.append(K6.prepare_kernel_ell6(ell, max_segments=1))
+            Ks.append(build_oneshot_K(
+                ell, np.asarray(omega_w[s]),
+                np.asarray(smooth_mask[s]) * interior,
+            ))
+    except Ell4Unsupported:
+        return None
+    W = max(k.segments[0].windows for k in kells)
+    kells = [K6.pad_segment_windows(k, W) for k in kells]
+    nbk = kells[0].segments[0].nblocks
+    kinv = [np.asarray(K6.pack_oneshot_K6(k, kk)[0])
+            for k, kk in zip(kells, Ks)]
+    return dict(
+        k6_vals=jnp.asarray(np.stack(
+            [np.asarray(k.segments[0].vals) for k in kells])),
+        k6_lcols=jnp.asarray(np.stack(
+            [np.asarray(k.segments[0].lcols) for k in kells])),
+        k6_pids=jnp.asarray(np.stack([np.asarray(k.pids) for k in kells])),
+        k6_perm=jnp.asarray(np.stack([np.asarray(k.perm) for k in kells])),
+        k6_kinvT=jnp.asarray(np.stack(kinv), jnp.float32),
+        k6_windows=W,
+        k6_nblocks=nbk,
+    )
+
+
 def partition_fine_level(
-    op: LevelOperator, num_shards: int,
+    op: LevelOperator, num_shards: int, kernels: bool = False,
 ) -> tuple[ShardedFineLevel, np.ndarray]:
     """Split ``op`` into P shards with the frontier/interior layout.
 
     Returns (sharded level, newpos) where newpos[old_padded2_row] = new
     global position (shard-local frontier/interior reorder composed onto
-    the contiguous split).
+    the contiguous split).  ``kernels=True`` additionally builds per-shard
+    v6 Pallas tables for the interior sweep / matvec (TPU execution path).
     """
     p = num_shards
     b = op.A.block_rows

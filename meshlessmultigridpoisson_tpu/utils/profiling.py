@@ -1,0 +1,143 @@
+"""Per-level kernel profiling: nnz/s and achieved HBM bandwidth.
+
+The north-star metric (SURVEY.md section 5, BASELINE.md): per-kernel nnz/s
+and achieved-bandwidth, reported per multigrid level.  The reference only
+ever wall-times whole V-cycle loops with std::clock
+(testing_functions.cpp:340-344); here each level's smoother and matvec are
+timed on-device with the chained-delta harness (tunnel/dispatch overhead
+cancels: t_op = (T(k) - T(1)) / (k-1) with both calls carrying identical
+buffers) and converted to throughputs from the level's true nonzero count
+and streamed-byte model.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chain_time(op, x0, k: int = 16, reps: int = 5) -> float:
+    """Median seconds per application of ``op`` via chained delta timing.
+
+    op(x) -> y with y feedable back as x.  Returns (T(k)-T(1))/(k-1).
+    """
+
+    def make(n):
+        def f(x):
+            y = op(x)
+            for _ in range(n - 1):
+                y = op(y * 1.0000001)  # dependency bump, defeats CSE
+            r = y.reshape(-1)
+            return r[:128] * 1.0
+
+        return jax.jit(f)
+
+    f1, fk = make(1), make(k)
+    np.asarray(f1(x0))
+    np.asarray(fk(x0))
+
+    def t(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(x0))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max(t(fk) - t(f1), 1e-9) / (k - 1)
+
+
+def _level_nnz(op) -> int:
+    try:  # TpuLevel: count from the f32 kernel table
+        return int(np.count_nonzero(np.asarray(op.kell.ell.vals)))
+    except AttributeError:
+        pass
+    try:
+        return int(np.count_nonzero(np.asarray(op.A.vals)))
+    except AttributeError:
+        return 0
+
+
+def _streamed_bytes(op, sweep: bool) -> int:
+    """Bytes the kernel streams from HBM per application (model).
+
+    v6 tables: 4 B value + 2 B packed i16 column per stored slot, plus the
+    x / b / out row vectors, plus (sweep only) the one-shot K tensor at
+    512 B/row.  Falls back to an 8 B/slot ELL model on the XLA path.
+    """
+    n_pad = getattr(op, "n_pad", None) or getattr(op, "n", 0)
+    vec = 4 * n_pad * (3 if sweep else 2)
+    kell6 = getattr(op, "kell6", None)
+    if kell6 is not None:
+        b = kell6.table_bytes + vec
+        if sweep and getattr(op, "kinvT_sg", None) is not None:
+            b += 512 * n_pad
+        return b
+    try:
+        slots = np.asarray(op.A.vals).size
+        return slots * 12 + vec  # f64 vals + i32 cols (CPU path)
+    except AttributeError:
+        return vec
+
+
+def profile_hierarchy(hier, reps: int = 5, k: int = 16) -> list[dict[str, Any]]:
+    """Time each level's smoother sweep and matvec on the current device.
+
+    Returns one dict per level (coarse -> fine): n, nnz, per-op times,
+    nnz/s, modeled achieved GB/s.
+    """
+    from meshlessmultigridpoisson_tpu.ops import smoothers as sm
+
+    out = []
+    for li, op in enumerate(hier.levels):
+        n_pad = getattr(op, "n_pad", None) or op.n
+        dtype = jnp.float32 if _is_f32_level(op) else jnp.float64
+        x0 = jnp.asarray(np.random.default_rng(li).standard_normal(n_pad), dtype)
+        zl = jnp.zeros((), dtype)
+        b = jnp.zeros(n_pad, dtype)
+
+        t_mv = chain_time(lambda x: sm.matvec(op, x, zl)[0], x0, k=k, reps=reps)
+        t_sw = chain_time(
+            lambda x: sm.smooth(op, x, zl, b, zl, iters=1)[0], x0, k=k, reps=reps
+        )
+        nnz = _level_nnz(op)
+        row = dict(
+            level=li,
+            n=int(op.n),
+            nnz=nnz,
+            matvec_ms=t_mv * 1e3,
+            sweep_ms=t_sw * 1e3,
+            matvec_gnnz_s=nnz / t_mv / 1e9 if nnz else 0.0,
+            sweep_gnnz_s=nnz / t_sw / 1e9 if nnz else 0.0,
+            matvec_gb_s=_streamed_bytes(op, False) / t_mv / 1e9,
+            sweep_gb_s=_streamed_bytes(op, True) / t_sw / 1e9,
+        )
+        out.append(row)
+    return out
+
+
+def _is_f32_level(op) -> bool:
+    try:
+        return op.kell is not None
+    except AttributeError:
+        return False
+
+
+def attach_throughput(rec, hier, sweeps_per_cycle: int | None = None) -> None:
+    """Aggregate solve-level throughput onto a SolveRecord.
+
+    nnz/s over the whole solve: cycles x (pre+post smooth sweeps + residual
+    matvec) x nnz summed over levels / wall time.  An *effective* number —
+    includes transfer/host overheads — complementing the per-kernel
+    profile.
+    """
+    total_nnz = sum(_level_nnz(op) for op in hier.levels)
+    if rec.cycles and rec.wall_time_s:
+        iters = getattr(hier.levels[-1], "iters", 5)
+        apps = rec.cycles * (2 * iters + 1)
+        rec.extra["total_nnz"] = total_nnz
+        rec.extra["effective_gnnz_s"] = apps * total_nnz / rec.wall_time_s / 1e9
