@@ -2,8 +2,9 @@
 frontier/interior split for EXACT cross-shard Gauss-Seidel.
 
 Produces stacked [P, ...] arrays (leading axis = device) so the sharded
-solve path (parallel/sharded.py) can shard_map over them.  The fine level
-is row-partitioned; coarse levels stay replicated.
+solve path (parallel/sharded.py) can shard_map over them.  The top
+``shard_levels`` levels are row-partitioned (each with its own
+frontier/interior layout); the remaining coarse tail stays replicated.
 
 Exact distributed GS (round-2 redesign; replaces the round-1 seam-damped
 smoother): under the SYMMETRIC coupling pattern a+aT, any row that is read
@@ -338,6 +339,16 @@ def partition_fine_level(
     cr, cv, ccx, _ = _compact_to_shards(
         crows_g, cvals, cgcols, None, p, ns, newpos, ext_of)
 
+    k6 = None
+    if kernels and op.class_size == 8:
+        vals_s = vals.reshape(p, ns, w)
+        lcols_s = lcols_ext.reshape(p, ns, w)
+        ow_s = omega_w.reshape(p, ns)
+        sm_s = pad_rows(op.smooth_mask).reshape(p, ns)
+        k6 = _build_shard_kernels(
+            vals_s, lcols_s, ow_s, sm_s, p, ns, nf, ns + 2 * hops * nf
+        )
+
     level = ShardedFineLevel(
         vals=shard(vals),
         lcols_ext=shard(lcols_ext.astype(np.int32)),
@@ -357,6 +368,13 @@ def partition_fine_level(
         cond_rows=jnp.asarray(cr.astype(np.int32)),
         cond_vals=jnp.asarray(cv),
         cond_lcols_ext=jnp.asarray(ccx.astype(np.int32)),
+        k6_vals=k6["k6_vals"] if k6 else None,
+        k6_lcols=k6["k6_lcols"] if k6 else None,
+        k6_pids=k6["k6_pids"] if k6 else None,
+        k6_perm=k6["k6_perm"] if k6 else None,
+        k6_kinvT=k6["k6_kinvT"] if k6 else None,
+        k6_windows=k6["k6_windows"] if k6 else 0,
+        k6_nblocks=k6["k6_nblocks"] if k6 else 0,
         n=op.n,
         n_pad2=n_pad2,
         num_shards=p,
@@ -375,119 +393,205 @@ def partition_fine_level(
 
 @dataclasses.dataclass
 class ShardedHierarchy:
-    """Sharded fine level + replicated coarse machinery."""
+    """Row-sharded top levels + replicated coarse tail.
 
-    fine: ShardedFineLevel
-    coarse: Hierarchy  # levels[:-1] hierarchy (replicated), may be empty
-    # fine<->coarsest-below transfers, split by fine shard:
+    ``sharded`` is fine-first: sharded[0] is the finest level.  Transfers
+    sharded[j] -> sharded[j+1] live in inter_restrict_*/inter_prolong_*
+    (index j); the LAST sharded level's transfer to the replicated tail is
+    restrict_*/prolong_* (coarse side in the ORIGINAL padded layout).
+    All restriction tables are split by the fine side's shard (partial
+    products psum-reduce to the replicated coarse source); prolongation
+    tables hold each fine shard's rows with columns into the full coarse
+    vector (all-gathered when the coarse level is sharded).
+    """
+
+    sharded: tuple  # tuple[ShardedFineLevel, ...], fine-first
+    coarse: Hierarchy  # replicated tail (may be empty)
+    # last-sharded <-> replicated-tail transfers, split by fine shard:
     restrict_vals: jnp.ndarray  # [P, nc_pad, wR] R restricted to shard cols
     restrict_lcols: jnp.ndarray  # [P, nc_pad, wR] LOCAL fine rows [0, Ns)
     prolong_vals: jnp.ndarray  # [P, Ns, wP]
     prolong_cols: jnp.ndarray  # [P, Ns, wP] coarse (replicated) cols
-    fine_op_cpu: LevelOperator  # for problem construction / extraction
-    newpos: np.ndarray  # old padded2 position -> new global position
+    # sharded[j] <-> sharded[j+1] transfers (coarse side in ITS new layout):
+    inter_restrict_vals: tuple = ()
+    inter_restrict_lcols: tuple = ()
+    inter_prolong_vals: tuple = ()
+    inter_prolong_cols: tuple = ()
+    fine_op_cpu: LevelOperator = None  # for problem construction / extraction
+    newpos: np.ndarray = None  # finest old padded2 position -> new position
+
+    @property
+    def fine(self) -> ShardedFineLevel:
+        return self.sharded[0]
+
+
+def _split_transfers(r_csr, p_csr, newpos_f, n_pad2_f, ns_f, p,
+                     newpos_c, nc_out):
+    """Split a restriction/prolongation pair by the FINE side's shards.
+
+    ``r_csr`` [nc_pad x nf_pad], ``p_csr`` [nf_pad x nc_pad] in ORIGINAL
+    layouts.  The fine axis is permuted by ``newpos_f`` (old -> new global
+    position, padded to n_pad2_f); the coarse axis is permuted by
+    ``newpos_c`` (or kept when None) and padded to ``nc_out``.
+
+    Returns (rv [P,nc_out,wR], rc LOCAL fine rows, pv [P,ns,wP],
+    pc full-coarse cols).
+    """
+    def c_of(idx):
+        return newpos_c[idx] if newpos_c is not None else idx
+
+    m = r_csr.tocoo()
+    rt = sp.coo_matrix(
+        (m.data, (c_of(m.row), newpos_f[m.col])), shape=(nc_out, n_pad2_f)
+    ).tocsr()
+    m = p_csr.tocoo()
+    pt = sp.coo_matrix(
+        (m.data, (newpos_f[m.row], c_of(m.col))), shape=(n_pad2_f, nc_out)
+    ).tocsr()
+
+    r_sh, wr = [], 1
+    for s in range(p):
+        mask = np.zeros(n_pad2_f, bool)
+        mask[s * ns_f:(s + 1) * ns_f] = True
+        rs_ = rt.multiply(mask[None, :]).tocsr()
+        rs_.eliminate_zeros()
+        r_sh.append(rs_)
+        wr = max(wr, int(np.diff(rs_.indptr).max(initial=0)))
+    rv, rc = [], []
+    for s, rs_ in enumerate(r_sh):
+        v = np.zeros((nc_out, wr))
+        c = np.zeros((nc_out, wr), dtype=np.int64)
+        nnzr = np.diff(rs_.indptr)
+        rows = np.repeat(np.arange(rs_.shape[0]), nnzr)
+        pos = np.arange(rs_.nnz) - np.repeat(rs_.indptr[:-1], nnzr)
+        v[rows, pos] = rs_.data
+        c[rows, pos] = rs_.indices - s * ns_f
+        rv.append(v)
+        rc.append(c)
+
+    p_sh = [pt[s * ns_f:(s + 1) * ns_f].tocsr() for s in range(p)]
+    wp = max(max(int(np.diff(ps.indptr).max(initial=0)) for ps in p_sh), 1)
+    pv, pc = [], []
+    for ps in p_sh:
+        v = np.zeros((ns_f, wp))
+        c = np.zeros((ns_f, wp), dtype=np.int64)
+        nnzr = np.diff(ps.indptr)
+        rows = np.repeat(np.arange(ps.shape[0]), nnzr)
+        pos = np.arange(ps.nnz) - np.repeat(ps.indptr[:-1], nnzr)
+        v[rows, pos] = ps.data
+        c[rows, pos] = ps.indices
+        pv.append(v)
+        pc.append(c)
+
+    return (
+        jnp.asarray(np.stack(rv)),
+        jnp.asarray(np.stack(rc).astype(np.int32)),
+        jnp.asarray(np.stack(pv)),
+        jnp.asarray(np.stack(pc).astype(np.int32)),
+    )
 
 
 def partition_hierarchy(
     hier: Hierarchy, num_shards: int, seam_damp: float | None = None,
+    kernels: bool = False, shard_levels: int = 1,
 ) -> ShardedHierarchy:
-    """Partition the finest level; replicate the rest.  ``seam_damp`` is
-    accepted for backward compatibility and ignored (the exact-GS phase
-    sweep needs no damping)."""
+    """Row-shard the top ``shard_levels`` levels; replicate the rest.
+
+    ``seam_damp`` is accepted for backward compatibility and ignored (the
+    exact-GS phase sweep needs no damping).  ``kernels=True`` builds the
+    per-shard v6 Pallas tables for every sharded level.  Sharding more than
+    the finest level removes the replicated-compute waste on large second
+    levels (BASELINE 16M-point configs): smoothing work splits P ways while
+    transfers move one coarse-sized vector (psum down, all_gather up).
+    """
+    shard_levels = max(1, min(shard_levels, hier.num_levels))
     fine_cpu = hier.levels[-1]
-    fine, newpos = partition_fine_level(fine_cpu, num_shards)
-    p, ns = fine.num_shards, fine.shard_rows
-    iperm = np.argsort(newpos)
 
-    if hier.num_levels > 1:
-        coarse = Hierarchy(
-            levels=hier.levels[:-1],
-            restrict=hier.restrict[:-1],
-            prolong=hier.prolong[:-1],
+    sharded, newposes = [], []
+    for j in range(shard_levels):  # fine-first
+        op = hier.levels[hier.num_levels - 1 - j]
+        lvl, npos = partition_fine_level(op, num_shards, kernels=kernels)
+        sharded.append(lvl)
+        newposes.append(npos)
+    p = num_shards
+
+    # transfers between consecutive sharded levels
+    irv, irc, ipv, ipc = [], [], [], []
+    for j in range(shard_levels - 1):
+        ti = hier.num_levels - 2 - j  # restrict[ti]: level ti+1 -> ti
+        rv, rc, pv, pc = _split_transfers(
+            ell_to_csr(hier.restrict[ti]).tocsr(),
+            ell_to_csr(hier.prolong[ti]).tocsr(),
+            newposes[j], sharded[j].n_pad2, sharded[j].shard_rows, p,
+            newposes[j + 1], sharded[j + 1].n_pad2,
         )
-        rtop = ell_to_csr(hier.restrict[-1]).tocsc()  # [nc_pad x nf_pad]
-        ptop = ell_to_csr(hier.prolong[-1])  # [nf_pad x nc_pad]
-        nc_pad = hier.levels[-2].n_pad
-        n_pad = fine_cpu.n_pad
+        irv.append(rv)
+        irc.append(rc)
+        ipv.append(pv)
+        ipc.append(pc)
 
-        # permute fine axis into the new layout (pad with empty rows/cols)
-        def pad_csr_cols(m):  # [*, n_pad] -> [*, n_pad2] new order
-            m2 = sp.csr_matrix(
-                (m.data, m.indices, m.indptr), shape=m.shape).tocoo()
-            cols = newpos[m2.col]
-            return sp.coo_matrix(
-                (m2.data, (m2.row, cols)), shape=(m.shape[0], fine.n_pad2)
-            ).tocsr()
-
-        def pad_csr_rows(m):  # [n_pad, *] -> [n_pad2, *] new order
-            m2 = m.tocoo()
-            rows = newpos[m2.row]
-            return sp.coo_matrix(
-                (m2.data, (rows, m2.col)), shape=(fine.n_pad2, m.shape[1])
-            ).tocsr()
-
-        rtop2 = pad_csr_cols(rtop.tocsr())
-        ptop2 = pad_csr_rows(ptop)
-
-        rv, rc = [], []
-        wmax = 1
-        shards_csr = []
-        for s in range(p):
-            lo, hi = s * ns, (s + 1) * ns
-            cols_mask = np.zeros(fine.n_pad2, bool)
-            cols_mask[lo:hi] = True
-            rs_ = rtop2.multiply(cols_mask[None, :]).tocsr()
-            rs_.eliminate_zeros()
-            shards_csr.append(rs_)
-            wmax = max(wmax, int(np.diff(rs_.indptr).max(initial=0)), 1)
-        for s, rs_ in enumerate(shards_csr):
-            v = np.zeros((nc_pad, wmax))
-            c = np.zeros((nc_pad, wmax), dtype=np.int64)
-            nnzr = np.diff(rs_.indptr)
-            rows = np.repeat(np.arange(rs_.shape[0]), nnzr)
-            pos = np.arange(rs_.nnz) - np.repeat(rs_.indptr[:-1], nnzr)
-            v[rows, pos] = rs_.data
-            c[rows, pos] = rs_.indices - s * ns
-            rv.append(v)
-            rc.append(c)
-
-        pv, pc = [], []
-        wpmax = 1
-        prows = []
-        for s in range(p):
-            lo, hi = s * ns, (s + 1) * ns
-            psub = ptop2[lo:hi].tocsr()
-            prows.append(psub)
-            wpmax = max(wpmax, int(np.diff(psub.indptr).max(initial=0)), 1)
-        for s, psub in enumerate(prows):
-            v = np.zeros((ns, wpmax))
-            c = np.zeros((ns, wpmax), dtype=np.int64)
-            nnzr = np.diff(psub.indptr)
-            rows = np.repeat(np.arange(psub.shape[0]), nnzr)
-            pos = np.arange(psub.nnz) - np.repeat(psub.indptr[:-1], nnzr)
-            v[rows, pos] = psub.data
-            c[rows, pos] = psub.indices
-            pv.append(v)
-            pc.append(c)
-
-        restrict_vals = jnp.asarray(np.stack(rv))
-        restrict_lcols = jnp.asarray(np.stack(rc).astype(np.int32))
-        prolong_vals = jnp.asarray(np.stack(pv))
-        prolong_cols = jnp.asarray(np.stack(pc).astype(np.int32))
+    last = sharded[-1]
+    ns_last = last.shard_rows
+    tail_levels = hier.num_levels - shard_levels
+    if tail_levels > 0:
+        coarse = Hierarchy(
+            levels=hier.levels[:tail_levels],
+            restrict=hier.restrict[:tail_levels - 1],
+            prolong=hier.prolong[:tail_levels - 1],
+        )
+        ti = tail_levels - 1
+        restrict_vals, restrict_lcols, prolong_vals, prolong_cols = (
+            _split_transfers(
+                ell_to_csr(hier.restrict[ti]).tocsr(),
+                ell_to_csr(hier.prolong[ti]).tocsr(),
+                newposes[-1], last.n_pad2, ns_last, p,
+                None, hier.levels[ti].n_pad,
+            )
+        )
     else:
         coarse = Hierarchy(levels=(), restrict=(), prolong=())
         restrict_vals = jnp.zeros((p, 1, 1))
         restrict_lcols = jnp.zeros((p, 1, 1), dtype=jnp.int32)
-        prolong_vals = jnp.zeros((p, ns, 1))
-        prolong_cols = jnp.zeros((p, ns, 1), dtype=jnp.int32)
+        prolong_vals = jnp.zeros((p, ns_last, 1))
+        prolong_cols = jnp.zeros((p, ns_last, 1), dtype=jnp.int32)
 
     return ShardedHierarchy(
-        fine=fine,
+        sharded=tuple(sharded),
         coarse=coarse,
         restrict_vals=restrict_vals,
         restrict_lcols=restrict_lcols,
         prolong_vals=prolong_vals,
         prolong_cols=prolong_cols,
+        inter_restrict_vals=tuple(irv),
+        inter_restrict_lcols=tuple(irc),
+        inter_prolong_vals=tuple(ipv),
+        inter_prolong_cols=tuple(ipc),
         fine_op_cpu=fine_cpu,
-        newpos=newpos,
+        newpos=newposes[0],
+    )
+
+
+def hierarchy_to_f32(shier: ShardedHierarchy) -> ShardedHierarchy:
+    """Cast every f64 leaf to f32 (TPU execution dtype; kernel tables are
+    already f32).  Solve states passed to the sharded cycle must match."""
+
+    def cast(a):
+        if hasattr(a, "dtype") and a.dtype == jnp.float64:
+            return a.astype(jnp.float32)
+        return a
+
+    t = jax.tree_util.tree_map
+    return ShardedHierarchy(
+        sharded=tuple(t(cast, lvl) for lvl in shier.sharded),
+        coarse=t(cast, shier.coarse),
+        restrict_vals=cast(shier.restrict_vals),
+        restrict_lcols=shier.restrict_lcols,
+        prolong_vals=cast(shier.prolong_vals),
+        prolong_cols=shier.prolong_cols,
+        inter_restrict_vals=tuple(map(cast, shier.inter_restrict_vals)),
+        inter_restrict_lcols=shier.inter_restrict_lcols,
+        inter_prolong_vals=tuple(map(cast, shier.inter_prolong_vals)),
+        inter_prolong_cols=shier.inter_prolong_cols,
+        fine_op_cpu=shier.fine_op_cpu,
+        newpos=shier.newpos,
     )

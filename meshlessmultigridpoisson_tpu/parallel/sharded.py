@@ -98,6 +98,46 @@ def _scan_tiles(f: ShardedFineLevel, x_ext, x_lag, b, t0: int, t1: int, gate):
     return x_ext
 
 
+def _ext_pad_rows(f: ShardedFineLevel) -> int:
+    return -(-max(f.ext_rows, 1) // 128) * 128
+
+
+def _kell_of(f: ShardedFineLevel):
+    """Reassemble the shard-local KernelEll6 from the stacked leaves."""
+    from meshlessmultigridpoisson_tpu.ops import kernels6 as K6
+
+    seg = K6.Segment(
+        vals=f.k6_vals, lcols=f.k6_lcols, windows=f.k6_windows,
+        nblocks=f.k6_nblocks, block_base=0,
+    )
+    return K6.KernelEll6(
+        segments=(seg,), pids=f.k6_pids, perm=f.k6_perm,
+        nrows=f.shard_rows, ncols=_ext_pad_rows(f), nrows_pad=f.shard_rows,
+    )
+
+
+def _interior_sweep_kernel(f: ShardedFineLevel, x, x_lag, b):
+    """Communication-free interior pass on the v6 Pallas kernel.
+
+    The one-shot K was built with frontier rows masked out (constants), so
+    sweeping every own block moves only interior rows — identical
+    semantics to the tile scan over [nft, ntiles).  Halo slots are fed
+    zeros: only masked (frontier) rows reference them.
+    """
+    from meshlessmultigridpoisson_tpu.ops.kernels6 import sor_sweep_tpu6
+
+    ns = f.shard_rows
+    nb = ns // 128
+    xp = jnp.zeros(_ext_pad_rows(f), x.dtype).at[:ns].set(x)
+    x2 = xp.reshape(-1, 128)
+    out = sor_sweep_tpu6(
+        _kell_of(f), (f.k6_kinvT,), x2,
+        x_lag.astype(x.dtype) if hasattr(x_lag, "astype") else x_lag,
+        b.reshape(nb, 128), f.lag_col.reshape(nb, 128),
+    )
+    return out.reshape(-1)[:ns]
+
+
 def _gs_sweep_sharded(f: ShardedFineLevel, x, x_lag, b):
     """One exact global GS sweep (frontier phases then interior)."""
     s = f.class_size
@@ -112,7 +152,9 @@ def _gs_sweep_sharded(f: ShardedFineLevel, x, x_lag, b):
         gate = (me % f.phases) == ph
         x_ext = _scan_tiles(f, x_ext, x_lag, b, 0, nft, gate)
         x = x_ext[:ns]
-    # interior phase: no cross-shard reads; zero-pad the ext tail
+    # interior phase: no cross-shard reads
+    if f.has_kernels:
+        return _interior_sweep_kernel(f, x, x_lag, b)
     pad = jnp.zeros(2 * (f.phases - 1) * nf, x.dtype)
     x_ext = jnp.concatenate([x, pad]) if pad.size else x
     x_ext = _scan_tiles(f, x_ext, x_lag, b, nft, ntiles, True)
@@ -147,7 +189,12 @@ def _smooth_sharded(f: ShardedFineLevel, x, x_lag, b, b_lag, iters=None):
 
 def _matvec_sharded(f: ShardedFineLevel, x, x_lag):
     x_ext = _frontier_exchange(f, x)
-    y = jnp.sum(f.vals * jnp.take(x_ext, f.lcols_ext, axis=0), axis=-1)
+    if f.has_kernels:
+        from meshlessmultigridpoisson_tpu.ops.kernels6 import spmv_tpu6
+
+        y = spmv_tpu6(_kell_of(f), x_ext)[: f.shard_rows]
+    else:
+        y = jnp.sum(f.vals * jnp.take(x_ext, f.lcols_ext, axis=0), axis=-1)
     if f.has_lagrange:
         y = y + f.lag_col * x_lag
         y_lag = _psum(jnp.vdot(f.lag_row, x)) + x_lag
@@ -188,56 +235,91 @@ def _zeroed_dirichlet_hier(hier: vc.Hierarchy) -> vc.Hierarchy:
 def make_sharded_vcycle(shier: ShardedHierarchy, mesh: Mesh):
     """Returns vcycle_fn(xf, x_lag, bf, b_lag) -> (xf, x_lag, resid) with
     xf/bf sharded [P*Ns] over the mesh axis; Lagrange scalars replicated.
-    Coarse-level sources/solutions are internal (recomputed each cycle from
-    the restriction, like the reference)."""
-    fine = shier.fine
+
+    The top len(shier.sharded) levels run row-sharded (each with its own
+    frontier-phase exact GS); the tail runs the replicated generic engine.
+    Between two sharded levels, restriction partial-products psum to a
+    replicated coarse source which each shard slices, and the coarse
+    solution is all_gathered for the local prolongation product.
+    Coarse-level sources/solutions are internal (recomputed each cycle
+    from the restriction, like the reference)."""
+    levels = shier.sharded
+    L = len(levels)
     coarse = _zeroed_dirichlet_hier(shier.coarse)
     has_coarse = len(coarse.levels) > 0
 
-    def mapped(fine_arrs, rv, rc, pv, pc, xf, x_lag, bf, b_lag):
-        f = jax.tree_util.tree_map(lambda a: a[0], fine_arrs)
-        x = xf
-        b = bf
-        resid = _rel_resid_sharded(f, x, x_lag, b, b_lag)
-        x = _bound_eval_local(f, x, b)
+    def mapped(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc,
+               xf, x_lag, bf, b_lag):
+        ls = [jax.tree_util.tree_map(lambda a: a[0], la) for la in lvl_arrs]
 
-        if not has_coarse:
-            x, x_lag = _smooth_sharded(f, x, x_lag, b, b_lag)
-            return x, x_lag, resid
+        def tail_solve(f, r):
+            """Restrict the last sharded level's residual into the
+            replicated tail, sub-cycle, return the correction."""
+            bc = _psum(jnp.sum(rv[0] * jnp.take(r, rc[0], axis=0), axis=-1))
+            opc = coarse.levels[-1]
+            bc = sm.zero_dirichlet(opc, bc)
+            if f.has_lagrange:
+                bc = jnp.where(opc.neumann_mask > 0, 0.0, bc)
+            cstate = vc.init_state(coarse, jnp.zeros(opc.n, bc.dtype))
+            cstate = cstate.replace_level(
+                len(coarse.levels) - 1, b=bc, b_lag=jnp.zeros((), bc.dtype))
+            cstate, _ = vc.v_cycle(coarse, cstate)
+            xc = cstate.x[-1]
+            return jnp.sum(pv[0] * jnp.take(xc, pc[0], axis=0), axis=-1)
 
-        # fine pre-smooth + restrict (multigrid.cpp:71-88)
-        x = jnp.where(
-            f.dirichlet_mask > 0, f.dirichlet_values, x
-        )  # boundaryOp("fine")
-        x, x_lag = _smooth_sharded(f, x, x_lag, b, b_lag)
-        r, _ = _residual_sharded(f, x, x_lag, b, b_lag)
-        bc = _psum(jnp.sum(rv[0] * jnp.take(r, rc[0], axis=0), axis=-1))
-        opc = coarse.levels[-1]
-        bc = sm.zero_dirichlet(opc, bc)
-        blc = jnp.zeros((), bc.dtype)
-        if f.has_lagrange:
-            bc = jnp.where(opc.neumann_mask > 0, 0.0, bc)
+        def cycle_level(j, x, xl, b, bl):
+            f = ls[j]
+            pin = f.dirichlet_values if j == 0 else 0.0
+            x = jnp.where(f.dirichlet_mask > 0, pin, x)  # boundaryOp
+            if j == L - 1 and not has_coarse:
+                # coarsest is sharded: reference double-smooth
+                # (multigrid.cpp:91-95); single-level runs smooth once
+                x, xl = _smooth_sharded(f, x, xl, b, bl)
+                if j > 0:
+                    x, xl = _smooth_sharded(f, x, xl, b, bl)
+                return x, xl
+            x, xl = _smooth_sharded(f, x, xl, b, bl)  # pre-smooth
+            r, _ = _residual_sharded(f, x, xl, b, bl)
+            if j == L - 1:
+                corr = tail_solve(f, r)
+            else:
+                fc = ls[j + 1]
+                bc_full = _psum(jnp.sum(
+                    irv[j][0] * jnp.take(r, irc[j][0], axis=0), axis=-1))
+                me = lax.axis_index(AXIS)
+                bc = lax.dynamic_slice(
+                    bc_full, (me * fc.shard_rows,), (fc.shard_rows,))
+                bc = jnp.where(fc.dirichlet_mask > 0, 0.0, bc)
+                if f.has_lagrange:
+                    bc = jnp.where(fc.neumann_mask > 0, 0.0, bc)
+                xc, _ = cycle_level(
+                    j + 1, jnp.zeros_like(bc), jnp.zeros((), bc.dtype),
+                    bc, jnp.zeros((), bc.dtype))
+                xc_full = lax.all_gather(xc, AXIS, tiled=True)
+                corr = jnp.sum(
+                    ipv[j][0] * jnp.take(xc_full, ipc[j][0], axis=0), axis=-1)
+            if not f.has_lagrange:
+                corr = jnp.where(f.dirichlet_mask > 0, 0.0, corr)
+            x = x + corr
+            x, xl = _smooth_sharded(f, x, xl, b, bl)  # post-smooth
+            return x, xl
 
-        # replicated coarse sub-cycle, zero initial guess
-        cstate = vc.init_state(coarse, jnp.zeros(opc.n, bc.dtype))
-        cstate = cstate.replace_level(len(coarse.levels) - 1, b=bc, b_lag=blc)
-        cstate, _ = vc.v_cycle(coarse, cstate)
-        xc = cstate.x[-1]
-
-        # prolong + fine post-smooth (multigrid.cpp:98-109)
-        corr = jnp.sum(pv[0] * jnp.take(xc, pc[0], axis=0), axis=-1)
-        if not f.has_lagrange:
-            corr = jnp.where(f.dirichlet_mask > 0, 0.0, corr)
-        x = x + corr
-        x, x_lag = _smooth_sharded(f, x, x_lag, b, b_lag)
+        f0 = ls[0]
+        resid = _rel_resid_sharded(f0, xf, x_lag, bf, b_lag)
+        x = _bound_eval_local(f0, xf, bf)
+        x, x_lag = cycle_level(0, x, x_lag, bf, b_lag)
         return x, x_lag, resid
 
-    fine_specs = jax.tree_util.tree_map(lambda _: P(AXIS), fine)
+    spec_of = lambda t: jax.tree_util.tree_map(lambda _: P(AXIS), t)
     mapped_sharded = jax.shard_map(
         mapped,
         mesh=mesh,
         in_specs=(
-            fine_specs,
+            spec_of(levels),
+            spec_of(shier.inter_restrict_vals),
+            spec_of(shier.inter_restrict_lcols),
+            spec_of(shier.inter_prolong_vals),
+            spec_of(shier.inter_prolong_cols),
             P(AXIS), P(AXIS), P(AXIS), P(AXIS),
             P(AXIS), P(), P(AXIS), P(),
         ),
@@ -248,7 +330,9 @@ def make_sharded_vcycle(shier: ShardedHierarchy, mesh: Mesh):
     @jax.jit
     def vcycle_fn(xf, x_lag, bf, b_lag):
         return mapped_sharded(
-            fine,
+            levels,
+            shier.inter_restrict_vals, shier.inter_restrict_lcols,
+            shier.inter_prolong_vals, shier.inter_prolong_cols,
             shier.restrict_vals, shier.restrict_lcols,
             shier.prolong_vals, shier.prolong_cols,
             xf, x_lag, bf, b_lag,

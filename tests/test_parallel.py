@@ -112,6 +112,146 @@ def test_sharded_vcycle_tracks_serial(mesh, neumann):
 
 
 @pytest.mark.parametrize("neumann", [False, True])
+def test_two_sharded_levels_solution_parity(mesh, neumann):
+    """shard_levels=2: the second level also runs row-sharded (its own
+    frontier-phase GS; transfers psum down / all_gather up).
+
+    Dirichlet: raw cycling converges — solve to 1e-8 and match the serial
+    solution.  Neumann: raw 3-level cycling diverges even SERIALLY on this
+    hierarchy (PARITY.md deviation 5; production wraps BiCGStab), so assert
+    the sharded cycle tracks the serial engine's residual history instead.
+    """
+    prob = make_poisson_problem(
+        "square", sizes=[170, 600, 2500], poly_deg=4, k1=1, neumann=neumann
+    )
+    shier = partition_hierarchy(prob.hierarchy, 8, shard_levels=2)
+    assert len(shier.sharded) == 2
+
+    op = prob.hierarchy.finest
+    b_log = np.asarray(op.to_logical(prob.state0.b[-1]))
+    bf = shard_vector(shier, mesh, b_log)
+
+    if neumann:
+        cycle = make_sharded_vcycle(shier, mesh)
+        xf, xl, bl = jnp.zeros_like(bf), jnp.zeros(()), jnp.zeros(())
+        hist = []
+        for _ in range(12):
+            xf, xl, r = cycle(xf, xl, bf, bl)
+            hist.append(float(r))
+        state, hist_serial = run_v_cycles(prob.hierarchy, prob.state0, 12)
+        h, hs = np.asarray(hist), np.asarray(hist_serial)
+        assert np.isfinite(h).all()
+        # same (divergent) cycle behavior within an order of magnitude
+        assert h[-1] < 30 * hs[-1]
+        assert h[-1] > hs[-1] / 30
+        return
+
+    solver = make_sharded_solver(shier, mesh, max_cycles=400)
+    xf, xl, it, resid = solver(jnp.zeros_like(bf), jnp.zeros(()), bf,
+                               jnp.zeros(()), 1e-8)
+    assert float(resid) < 1e-8, f"2-sharded-level solve stalled at {float(resid)}"
+
+    st, _, _ = solve_bicgstab(prob.hierarchy, prob.state0, tol=1e-10)
+    serial = np.asarray(op.to_logical(st.x[-1]))
+    x_log = unshard_vector(shier, xf)
+    scale = max(np.abs(serial).max(), 1e-30)
+    diff = np.abs(x_log - serial).max() / scale
+    assert diff < 1e-6, f"2-level-sharded vs serial diff {diff:.2e}"
+
+
+def test_shard_kernel_tables_match_xla_per_shard(mesh):
+    """Every shard's stacked v6 tables (incl. cross-shard window padding)
+    reproduce the XLA gather matvec and the masked interior sweep —
+    interpret mode, one shard at a time (the interpreter is not safe under
+    concurrent shard_map threads)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from meshlessmultigridpoisson_tpu.ops.kernels6 import (
+        sor_sweep_tpu6,
+        spmv_tpu6,
+    )
+    from meshlessmultigridpoisson_tpu.parallel import sharded as sh
+    from meshlessmultigridpoisson_tpu.parallel.partition import hierarchy_to_f32
+
+    prob = make_poisson_problem(
+        "square", sizes=[600, 2500], poly_deg=4, k1=1, neumann=False
+    )
+    shier = hierarchy_to_f32(partition_hierarchy(prob.hierarchy, 8, kernels=True))
+    f = shier.fine
+    assert f.has_kernels, "kernel tables were not built"
+    p, ns = f.num_shards, f.shard_rows
+    rng = np.random.default_rng(2)
+    ext = f.ext_rows
+    ext_pad = -(-ext // 128) * 128
+
+    for s in range(p):
+        fs = jax.tree_util.tree_map(lambda a: a[s], f)
+        kell = sh._kell_of(fs)
+        x_ext = jnp.asarray(rng.standard_normal(ext), jnp.float32)
+        y_xla = np.asarray(jnp.sum(
+            fs.vals * jnp.take(x_ext, fs.lcols_ext, axis=0), axis=-1))
+        with pltpu.force_tpu_interpret_mode():
+            y_k = np.asarray(spmv_tpu6(kell, x_ext)[:ns])
+        np.testing.assert_allclose(y_k, y_xla, rtol=2e-4, atol=2e-4)
+
+        # interior sweep: frontier rows must not move, interior rows must
+        # match the scan-tile oracle
+        x0 = jnp.asarray(rng.standard_normal(ns), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(ns), jnp.float32)
+        xl = jnp.asarray(0.11, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out_k = np.asarray(sh._interior_sweep_kernel(fs, x0, xl, b))
+        nf = fs.frontier_rows
+        np.testing.assert_array_equal(out_k[:nf], np.asarray(x0)[:nf])
+        pad = jnp.zeros(2 * (fs.phases - 1) * nf, x0.dtype)
+        x_e = jnp.concatenate([x0, pad]) if pad.size else x0
+        s_ = fs.class_size
+        out_x = np.asarray(sh._scan_tiles(
+            fs, x_e, xl, b, nf // s_, ns // s_, True))[:ns]
+        scale = max(np.abs(out_x).max(), 1.0)
+        np.testing.assert_allclose(out_k, out_x, rtol=0, atol=3e-4 * scale)
+
+
+def test_sharded_kernel_cycle_single_shard(mesh):
+    """Full kernel-dispatch V-cycle on a 1-shard mesh (the real-TPU
+    single-chip configuration) vs the XLA sharded path, interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+    from meshlessmultigridpoisson_tpu.parallel.partition import hierarchy_to_f32
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), (AXIS,))
+    prob = make_poisson_problem(
+        "square", sizes=[600, 2500], poly_deg=4, k1=1, neumann=False
+    )
+    shier = partition_hierarchy(prob.hierarchy, 1)
+    shier_k = hierarchy_to_f32(partition_hierarchy(prob.hierarchy, 1, kernels=True))
+    assert shier_k.fine.has_kernels
+
+    cycle = make_sharded_vcycle(shier, mesh1)
+    cycle_k = make_sharded_vcycle(shier_k, mesh1)
+    op = prob.hierarchy.finest
+    b_log = np.asarray(op.to_logical(prob.state0.b[-1]))
+    bf = shard_vector(shier, mesh1, b_log)
+    xf, xl, bl = jnp.zeros_like(bf), jnp.zeros(()), jnp.zeros(())
+    bfk = bf.astype(jnp.float32)
+    xfk = jnp.zeros_like(bfk)
+    xlk, blk = jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
+
+    hist, hist_k = [], []
+    for _ in range(4):
+        xf, xl, r = cycle(xf, xl, bf, bl)
+        hist.append(float(r))
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(4):
+            xfk, xlk, rk = cycle_k(xfk, xlk, bfk, blk)
+            hist_k.append(float(rk))
+
+    np.testing.assert_allclose(hist_k, hist, rtol=1e-3)
+    x64 = unshard_vector(shier, xf)
+    x32 = unshard_vector(shier_k, np.asarray(xfk, np.float64))
+    scale = np.abs(x64).max()
+    assert np.abs(x32 - x64).max() / scale < 1e-3
+
+
+@pytest.mark.parametrize("neumann", [False, True])
 def test_sharded_solution_parity_1e8(mesh, neumann):
     """VERDICT item: sharded solve to 1e-8 matches the serial solution.
 
