@@ -112,8 +112,9 @@ def main(argv=None):
         # an installed TPU plugin (sitecustomize) overrides JAX_PLATFORMS;
         # re-pin explicitly, as tests/conftest.py does
         jax.config.update("jax_platforms", "cpu")
-    elif args.platform == "tpu":
-        jax.config.update("jax_platforms", "tpu")
+    # --platform tpu: keep the plugin default (the chip may be exposed under
+    # an experimental platform name, e.g. "axon"); it selects the TPU solve
+    # path (Pallas hierarchy + mixed-precision defect correction) instead.
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
@@ -145,6 +146,65 @@ def _build_problem(args):
     )
 
 
+def _solve_tpu(args):
+    """On-device solve to reference tolerances: f64 setup on the host CPU,
+    f32 Pallas-kernel hierarchy on the TPU, mixed-precision defect
+    correction (mg/mixed.py) to --tol.  This is the production TPU path —
+    the reference's bar is 1e-8/1e-10 relative L1 in f64
+    (FractionalStepSim.cpp:139,202)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meshlessmultigridpoisson_tpu.mg import mixed
+    from meshlessmultigridpoisson_tpu.mg.tpu_backend import tpu_hierarchy
+    from meshlessmultigridpoisson_tpu.models.poisson import l1_error
+    from meshlessmultigridpoisson_tpu.utils.jaxutils import on_cpu, to_device_tree
+    from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
+
+    with Timer() as t_setup:
+        with on_cpu():
+            prob = _build_problem(args)
+            thier = tpu_hierarchy(prob.hierarchy)
+    dev = jax.devices()[0]
+    thier = jax.device_put(thier, dev)
+    op64 = to_device_tree(prob.hierarchy.levels[-1], device=dev)
+    b = jax.device_put(prob.state0.b[-1], dev)
+    bl = jax.device_put(prob.state0.b_lag[-1], dev)
+
+    rec = SolveRecord(
+        name=f"poisson-{args.geom}-tpu",
+        config=dict(sizes=[c.n for c in prob.clouds], deg=args.deg, k=args.k,
+                    neumann=args.neumann, solver="mixed-defect", tol=args.tol,
+                    platform="tpu", msh=getattr(args, "msh", None)),
+    )
+    hd = mixed.defect_hierarchy(thier)
+    x0 = jnp.zeros(op64.n_pad, jnp.float64)
+    xl0 = jnp.zeros((), jnp.float64)
+    # compile once (discarded warm-up), then time the solve alone
+    with Timer() as t_warm:
+        res0 = mixed.solve_mixed(op64, hd, x0, xl0, b, bl, tol=args.tol)[3]
+        float(np.asarray(res0))
+    with Timer() as t:
+        x, xl, it, res = mixed.solve_mixed(op64, hd, x0, xl0, b, bl,
+                                           tol=args.tol)
+        res_f = float(np.asarray(res))
+    rec.wall_time_s = t.elapsed
+    rec.cycles = int(np.asarray(it))
+    rec.final_residual = res_f
+    rec.extra["setup_time_s"] = t_setup.elapsed
+    rec.extra["compile_time_s"] = t_warm.elapsed - t.elapsed
+    rec.extra["device"] = str(dev)
+    rec.l1_error = l1_error(prob, x)
+    if getattr(args, "profile", False):
+        from meshlessmultigridpoisson_tpu.utils.profiling import profile_hierarchy
+
+        rec.extra["per_level"] = profile_hierarchy(thier)
+    if args.write_solution:
+        _write_solution(args.write_solution, prob, x)
+    return rec
+
+
 def _solve(args):
     import numpy as np
     from meshlessmultigridpoisson_tpu.models.poisson import l1_error
@@ -152,6 +212,8 @@ def _solve(args):
     from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
     from meshlessmultigridpoisson_tpu.utils.metrics import SolveRecord, Timer
 
+    if args.platform == "tpu":
+        return _solve_tpu(args)
     with Timer() as t_setup:
         prob = _build_problem(args)
     rec = SolveRecord(

@@ -86,7 +86,6 @@ def solve_mixed(
     Returns (x64, xl64, outer_iters, rel_residual).
     """
     fine_i = len(hier32_defect.levels) - 1
-    op32 = hier32_defect.levels[fine_i]
     b = b.astype(jnp.float64)
     bl = jnp.asarray(bl, jnp.float64)
     b = jnp.where(op64.dirichlet_mask > 0, op64.dirichlet_values, b)
@@ -146,6 +145,6 @@ def solve_mixed(
 
     out = jax.lax.while_loop(cond, body, init)
     x = out["x"]
-    if op32.bound_n > 0:
+    if op64.bound.nrows > 0:
         x = sm.bound_eval_neumann(op64, x, b)
     return x, out["xl"], out["it"], out["res"]
