@@ -25,6 +25,11 @@ from meshlessmultigridpoisson_tpu.parallel.partition import (
     ShardedHierarchy,
     partition_hierarchy,
 )
+from meshlessmultigridpoisson_tpu.parallel.runtime import (
+    init_distributed,
+    solver_mesh,
+    topology_summary,
+)
 from meshlessmultigridpoisson_tpu.parallel.sharded import (
     make_sharded_vcycle,
     make_sharded_solver,
@@ -34,6 +39,9 @@ __all__ = [
     "ShardedFineLevel",
     "ShardedHierarchy",
     "partition_hierarchy",
+    "init_distributed",
+    "solver_mesh",
+    "topology_summary",
     "make_sharded_vcycle",
     "make_sharded_solver",
 ]

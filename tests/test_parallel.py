@@ -292,3 +292,34 @@ def test_sharded_solution_parity_1e8(mesh, neumann):
         - prob.exact
     ).mean()
     assert err < 1.5 * err_serial + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# multi-host runtime layer (parallel/runtime.py)
+# ---------------------------------------------------------------------------
+
+
+def test_solver_mesh_shapes_and_order():
+    from meshlessmultigridpoisson_tpu.parallel import solver_mesh
+    from meshlessmultigridpoisson_tpu.parallel.runtime import AXIS as RAXIS
+
+    m = solver_mesh()
+    assert m.axis_names == (RAXIS,)
+    assert m.devices.ndim == 1
+    # prefix subset preserves jax.devices() (process-major / ICI) order
+    m4 = solver_mesh(4)
+    assert list(m4.devices) == list(jax.devices()[:4])
+    with pytest.raises(ValueError):
+        solver_mesh(len(jax.devices()) + 1)
+
+
+def test_init_distributed_single_process_noop():
+    from meshlessmultigridpoisson_tpu.parallel import (
+        init_distributed,
+        topology_summary,
+    )
+
+    assert init_distributed() is False  # no coordinator configured: no-op
+    topo = topology_summary()
+    assert topo["num_processes"] == 1 and topo["process_id"] == 0
+    assert topo["num_devices"] >= 8  # the virtual mesh (conftest)
