@@ -68,6 +68,7 @@ class MultigridConfig:
     num_levels: int = 3
     fine_poly_deg: int = 6
     coarse_poly_deg: int = 3
+    dim: int = 2  # 3 = the designed 3D extension (BASELINE config 3)
     smoother: str = "jacobi"  # "jacobi" | "block_sor" | "colored_sor"
     omega: float = 1.4
     iters: int = 5
@@ -83,7 +84,8 @@ class MultigridConfig:
         """Level 0 = coarsest; num_levels-1 = finest (reference ordering)."""
         deg = self.fine_poly_deg if level == self.num_levels - 1 else self.coarse_poly_deg
         return GridConfig(
-            poly_deg=deg, rbf_exp=self.rbf_exp, omega=self.omega, iters=self.iters
+            poly_deg=deg, rbf_exp=self.rbf_exp, omega=self.omega,
+            iters=self.iters, dim=self.dim,
         )
 
 
@@ -136,6 +138,9 @@ REFERENCE_MG_SIZES: dict[str, Sequence[int]] = {
     "square": (170, 600, 2500, 10000),
     "square_with_circle": (176, 640, 2532, 10197, 37943, 150214),
     "concentric_circles": (188, 650, 2581, 10207),
+    # 3D designed extension (BASELINE config 3: 1M pts, 27-ish neighbor
+    # stencils at deg 2, 5 levels); the reference is strictly 2D.
+    "box3d": (4000, 16000, 64000, 250000, 1000000),
 }
 
 

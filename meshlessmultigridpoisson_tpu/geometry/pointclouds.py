@@ -367,6 +367,17 @@ def box3d_cloud(n_target: int, jitter: float = 0.3, seed: int = 0) -> PointCloud
         at1 = all_pts[bidx, axis] == 1
         normals[bidx[at0], axis] = 1.0
         normals[bidx[at1], axis] = -1.0
+    # Edge/corner points lie on 2-3 faces; snap their normal to the FIRST
+    # active axis (the 2D square's corner convention).  A diagonal normal
+    # can zero the n.grad row's self-weight, breaking the boundary
+    # row-solve (grid.cpp:92-97 divides by it) and condensation.
+    for i in bidx:
+        ax = np.flatnonzero(normals[i])
+        if ax.size > 1:
+            keep = ax[0]
+            v = normals[i, keep]
+            normals[i] = 0.0
+            normals[i, keep] = np.sign(v)
     nrm = np.linalg.norm(normals[bidx], axis=1, keepdims=True)
     normals[bidx] /= np.maximum(nrm, 1e-300)
     return PointCloud(all_pts, [bidx], normals, geomtype="box3d")

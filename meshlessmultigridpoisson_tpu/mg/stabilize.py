@@ -66,7 +66,13 @@ def stabilize_level(
             rho, mode = estimate_smoother_rho(op, sweeps=sweeps)
             if rho < target_rho:
                 break
-            thresh = np.quantile(mode[mode > 0], mode_quantile)
+            sel = mode[np.isfinite(mode) & (mode > 0)]
+            if sel.size == 0:
+                raise ValueError(
+                    "smoother power iteration produced no finite mode "
+                    f"(rho={rho}); the operator likely has zero/NaN rows"
+                )
+            thresh = np.quantile(sel, mode_quantile)
             bad = mode >= max(thresh, 1e-30)
             scale = np.asarray(op.omega_scale).copy()
             scale[bad] *= damp

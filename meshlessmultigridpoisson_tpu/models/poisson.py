@@ -55,6 +55,21 @@ def source_square(pts: np.ndarray, neumann: bool, k1: int, k2: int) -> np.ndarra
     return -(k1 * k1 + k2 * k2) * PI * PI * exact_square(pts, neumann, k1, k2)
 
 
+def exact_box3d(pts: np.ndarray, neumann: bool, k1: int, k2: int) -> np.ndarray:
+    """3D product manufactured solution (the 2D family's designed
+    extension; reference is strictly 2D, testing_functions.cpp:3-67)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    if neumann:
+        return np.cos(k1 * PI * x) * np.cos(k2 * PI * y) * np.cos(k1 * PI * z)
+    return np.sin(k1 * PI * x) * np.sin(k2 * PI * y) * np.sin(k1 * PI * z)
+
+
+def source_box3d(pts: np.ndarray, neumann: bool, k1: int, k2: int) -> np.ndarray:
+    return (
+        -(2 * k1 * k1 + k2 * k2) * PI * PI * exact_box3d(pts, neumann, k1, k2)
+    )
+
+
 def exact_circle(pts: np.ndarray, k: int) -> np.ndarray:
     x, y = pts[:, 0] - 0.5, pts[:, 1] - 0.5
     rstar = (np.sqrt(x * x + y * y) - 0.25) / 0.25
@@ -95,6 +110,11 @@ def _bc_value_fn(geomtype: str, neumann: bool, k1: int, k2: int):
     def fn(pts: np.ndarray, normals: np.ndarray, comp: int) -> np.ndarray:
         x, y = pts[:, 0], pts[:, 1]
         if geomtype == "square":
+            return np.zeros(pts.shape[0])
+        if geomtype == "box3d":
+            # Dirichlet: sin products vanish on the faces; Neumann: the
+            # cos-product normal derivative has a sin(k pi {0,1}) = 0
+            # factor on every face (the 3D analog of the 2D square case).
             return np.zeros(pts.shape[0])
         if geomtype == "square_with_circle":
             if comp == 0:
@@ -156,9 +176,17 @@ def make_poisson_problem(
             sizes = list(REFERENCE_MG_SIZES[geomtype][:num_levels])
         clouds = [make_cloud(geomtype, n, seed=seed + i) for i, n in enumerate(sizes)]
     if config is None:
-        config = MultigridConfig(
-            num_levels=len(sizes), fine_poly_deg=poly_deg, coarse_poly_deg=3
-        )
+        if geomtype == "box3d":
+            # 3D: poly terms grow cubically (deg 3 -> 20 terms, k=50);
+            # coarse levels at deg 2 (k=25, the 27-neighbor-class stencil)
+            config = MultigridConfig(
+                num_levels=len(sizes), fine_poly_deg=poly_deg,
+                coarse_poly_deg=min(poly_deg, 2), dim=3,
+            )
+        else:
+            config = MultigridConfig(
+                num_levels=len(sizes), fine_poly_deg=poly_deg, coarse_poly_deg=3
+            )
     bc_types = ["neumann" if neumann else "dirichlet"] * max(
         len(c.boundaries) for c in clouds
     )
@@ -171,6 +199,9 @@ def make_poisson_problem(
     if geomtype == "concentric_circles":
         src = source_circle(fine.points, k1)
         exact = exact_circle(fine.points, k1)
+    elif geomtype == "box3d":
+        src = source_box3d(fine.points, neumann, k1, k2)
+        exact = exact_box3d(fine.points, neumann, k1, k2)
     else:
         src = source_square(fine.points, neumann, k1, k2)
         exact = exact_square(fine.points, neumann, k1, k2)

@@ -223,6 +223,14 @@ def assemble_operator_csr(
             nx = cloud.normals[bidx, 0:1]
             ny = cloud.normals[bidx, 1:2]
             w[bidx] = nx * wx + ny * wy  # n.grad rows (grid.cpp:520-548)
+            if pts.shape[1] == 3:  # 3D extension: z-component of n.grad
+                wz = np.asarray(
+                    batched_weights(
+                        ptsj, nbj[bidx], ptsj[bidx], op="dz",
+                        poly_deg=config.poly_deg, rbf_exp=config.rbf_exp,
+                    )
+                )
+                w[bidx] += cloud.normals[bidx, 2:3] * wz
 
     rows = np.repeat(np.arange(n), k)
     A = sp.coo_matrix(
@@ -358,6 +366,13 @@ def _condense_neumann(
     nmn = bc_flags == 2
 
     D = A.diagonal()
+    if bool((nmn & (D == 0)).any()):
+        raise ValueError(
+            f"{int((nmn & (D == 0)).sum())} Neumann boundary rows have a "
+            "zero diagonal (n.grad self-weight) — the boundary row-solve "
+            "(grid.cpp:92-97) and condensation both divide by it; check "
+            "the cloud's normals"
+        )
     d_b = np.where(nmn, D, 1.0)
 
     S = A.multiply(interior[:, None]).multiply(nmn[None, :]).tocsr()

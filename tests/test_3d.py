@@ -63,3 +63,25 @@ def test_3d_dirichlet_poisson_solve():
     sol = np.asarray(op.to_logical(state.x[0]))
     err = np.abs(sol - exact).mean()
     assert err < 5e-2  # deg-2 on ~3k points: coarse but convergent
+
+
+@pytest.mark.parametrize("neumann", [False, True])
+def test_3d_multilevel_solve(neumann):
+    """Full 3D pipeline through make_poisson_problem: 2-level V-cycle
+    hierarchy on box clouds (BASELINE config 3 family), manufactured
+    product solution, BiCGStab to 1e-8, truncation-level L1 error."""
+    from meshlessmultigridpoisson_tpu.models.poisson import (
+        l1_error,
+        make_poisson_problem,
+    )
+
+    prob = make_poisson_problem(
+        "box3d", sizes=[500, 1800], poly_deg=2, k1=1, neumann=neumann
+    )
+    assert prob.clouds[-1].points.shape[1] == 3
+    state, it, resid = solve_bicgstab(
+        prob.hierarchy, prob.state0, tol=1e-8, max_iters=200
+    )
+    assert float(resid) < 1e-8
+    err = l1_error(prob, state.x[-1])
+    assert err < 5e-2  # deg-2 truncation on ~1.8k pts
