@@ -290,7 +290,12 @@ def _ns(args):
                          p_relax=args.p_relax,
                          diffusion="implicit" if args.implicit_diffusion
                          else "explicit")
-    with Timer() as t_setup:
+    import contextlib
+
+    from meshlessmultigridpoisson_tpu.utils.jaxutils import on_cpu
+
+    setup_ctx = on_cpu() if args.platform == "tpu" else contextlib.nullcontext()
+    with Timer() as t_setup, setup_ctx:
         prob = fs.build_fracstep_problem(
             sizes=list(args.sizes), poly_deg=args.deg, config=cfg,
             compatible_ppe=not args.reference_ppe,
@@ -300,19 +305,31 @@ def _ns(args):
     rec = SolveRecord(
         name="fracstep-kovasznay",
         config=dict(sizes=list(args.sizes), deg=args.deg, dt=args.dt,
-                    steps=args.steps, compatible=not args.reference_ppe),
+                    steps=args.steps, compatible=not args.reference_ppe,
+                    platform=args.platform),
     )
-    with Timer() as t:
-        hist = []
+    if args.platform == "tpu":
+        from meshlessmultigridpoisson_tpu.models.fracstep_tpu import run_tpu
+
         err_hist = []
-        for i in range(args.steps):
-            state, res = fs.timestep(prob, state, ppe_solver="bicgstab")
-            hist.append(float(res))
-            if i % 50 == 0:
-                err = fs.u_error_vs_kovasznay(prob, state)
-                err_hist.append([i, float(err)])
-                print(f"step {i}: fs_res={hist[-1]:.3e} u_err={err:.3e}",
-                      file=sys.stderr, flush=True)
+        with Timer() as t:
+            state, hist_a, _ = run_tpu(
+                prob, steps=args.steps,
+                log=lambda m: print(m, file=sys.stderr, flush=True),
+            )
+        hist = hist_a.tolist()
+    else:
+        with Timer() as t:
+            hist = []
+            err_hist = []
+            for i in range(args.steps):
+                state, res = fs.timestep(prob, state, ppe_solver="bicgstab")
+                hist.append(float(res))
+                if i % 50 == 0:
+                    err = fs.u_error_vs_kovasznay(prob, state)
+                    err_hist.append([i, float(err)])
+                    print(f"step {i}: fs_res={hist[-1]:.3e} u_err={err:.3e}",
+                          file=sys.stderr, flush=True)
     rec.wall_time_s = t.elapsed
     rec.residual_history = hist[:: max(1, len(hist) // 500)]
     rec.l1_error = fs.u_error_vs_kovasznay(prob, state)
