@@ -116,6 +116,11 @@ def main(argv=None):
     # an experimental platform name, e.g. "axon"); it selects the TPU solve
     # path (Pallas hierarchy + mixed-precision defect correction) instead.
     jax.config.update("jax_enable_x64", True)
+    if args.platform == "tpu" and jax.devices()[0].platform == "cpu":
+        # without this, a host with no TPU plugin would run the whole "tpu"
+        # path on CPU while the record claims platform="tpu"
+        sys.exit("--platform tpu requested but jax.devices()[0] is CPU; "
+                 "no TPU plugin available on this host")
     import numpy as np
 
     if args.cmd == "solve":
@@ -355,6 +360,7 @@ def _sweep(args):
                         geom=geom, sizes=_sweep_sizes(geom, lv), deg=deg, k=k,
                         neumann=True, seed=0, solver="bicgstab", tol=1e-8,
                         cycles=None, out=None, write_solution=None,
+                        platform=getattr(args, "platform", "cpu"),
                     )
                     t0 = time.time()
                     try:

@@ -371,13 +371,17 @@ def box3d_cloud(n_target: int, jitter: float = 0.3, seed: int = 0) -> PointCloud
     # active axis (the 2D square's corner convention).  A diagonal normal
     # can zero the n.grad row's self-weight, breaking the boundary
     # row-solve (grid.cpp:92-97 divides by it) and condensation.
-    for i in bidx:
-        ax = np.flatnonzero(normals[i])
-        if ax.size > 1:
-            keep = ax[0]
-            v = normals[i, keep]
-            normals[i] = 0.0
-            normals[i, keep] = np.sign(v)
+    # (Vectorized: at 1M points / ~60k boundary points a Python loop here
+    # costs minutes of setup.)
+    bn = normals[bidx]
+    active = bn != 0
+    multi = active.sum(axis=1) > 1
+    if multi.any():
+        rows = bidx[multi]
+        first_ax = np.argmax(active[multi], axis=1)
+        signs = np.sign(normals[rows, first_ax])
+        normals[rows] = 0.0
+        normals[rows, first_ax] = signs
     nrm = np.linalg.norm(normals[bidx], axis=1, keepdims=True)
     normals[bidx] /= np.maximum(nrm, 1e-300)
     return PointCloud(all_pts, [bidx], normals, geomtype="box3d")

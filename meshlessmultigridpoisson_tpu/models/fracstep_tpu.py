@@ -70,6 +70,17 @@ class TpuFracStep:
 def build_tpu_fracstep(prob: FracStepProblem, device=None) -> TpuFracStep:
     """Repack a CPU-built FracStepProblem for the TPU (setup stays f64 on
     the host; only kernel-ready layouts move)."""
+    if not prob.compatible_ppe:
+        raise NotImplementedError(
+            "the TPU fractional-step path implements the compatible "
+            "div∘grad PPE only; --reference-ppe (assembled-Laplacian PPE) "
+            "runs on the CPU path (--platform cpu)"
+        )
+    if (prob.config.hyperviscosity or 0.0) > 0.0:
+        raise NotImplementedError(
+            "hyperviscosity is not wired into the TPU predictor; use "
+            "--platform cpu"
+        )
     device = device or jax.devices()[0]
     thier = tpu_hierarchy(prob.hierarchy)
     hd = defect_hierarchy(thier)

@@ -39,6 +39,11 @@ from jax.sharding import Mesh
 
 AXIS = "points"
 
+# set by init_distributed once jax.distributed.initialize has run; the
+# process_count() probe alone misses an explicit single-process init
+# (num_processes=1), where a second initialize() would raise RuntimeError
+_initialized = False
+
 
 def init_distributed(
     coordinator_address: str | None = None,
@@ -67,13 +72,15 @@ def init_distributed(
         # single-process run (or an auto-detectable cluster env JAX handles
         # without arguments — only attempt that when explicitly requested)
         return False
-    if jax.process_count() > 1:
-        return True  # already initialized
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        return jax.process_count() > 1  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _initialized = True
     return jax.process_count() > 1
 
 
