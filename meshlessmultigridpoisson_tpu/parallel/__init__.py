@@ -33,6 +33,7 @@ from meshlessmultigridpoisson_tpu.parallel.runtime import (
 from meshlessmultigridpoisson_tpu.parallel.sharded import (
     make_sharded_vcycle,
     make_sharded_solver,
+    make_sharded_bicgstab,
 )
 
 __all__ = [
@@ -44,4 +45,5 @@ __all__ = [
     "topology_summary",
     "make_sharded_vcycle",
     "make_sharded_solver",
+    "make_sharded_bicgstab",
 ]

@@ -232,6 +232,99 @@ def _zeroed_dirichlet_hier(hier: vc.Hierarchy) -> vc.Hierarchy:
     )
 
 
+def _cycle_core(ls, irv, irc, ipv, ipc, rv, rc, pv, pc, *,
+                coarse, has_coarse, xf, x_lag, bf, b_lag, homogeneous: bool):
+    """One V-cycle on the unstacked per-shard level list ``ls`` (runs INSIDE
+    shard_map).  ``homogeneous`` zeroes the fine Dirichlet pin so the cycle
+    is a linear map (the Krylov-preconditioner form, mg/krylov.py)."""
+    L = len(ls)
+
+    def tail_solve(f, r):
+        """Restrict the last sharded level's residual into the
+        replicated tail, sub-cycle, return the correction."""
+        bc = _psum(jnp.sum(rv * jnp.take(r, rc, axis=0), axis=-1))
+        opc = coarse.levels[-1]
+        bc = sm.zero_dirichlet(opc, bc)
+        if f.has_lagrange:
+            bc = jnp.where(opc.neumann_mask > 0, 0.0, bc)
+        cstate = vc.init_state(coarse, jnp.zeros(opc.n, bc.dtype))
+        cstate = cstate.replace_level(
+            len(coarse.levels) - 1, b=bc, b_lag=jnp.zeros((), bc.dtype))
+        cstate, _ = vc.v_cycle(coarse, cstate)
+        xc = cstate.x[-1]
+        return jnp.sum(pv * jnp.take(xc, pc, axis=0), axis=-1)
+
+    def cycle_level(j, x, xl, b, bl):
+        f = ls[j]
+        pin = (0.0 if homogeneous else f.dirichlet_values) if j == 0 else 0.0
+        x = jnp.where(f.dirichlet_mask > 0, pin, x)  # boundaryOp
+        if j == L - 1 and not has_coarse:
+            # coarsest is sharded: reference double-smooth
+            # (multigrid.cpp:91-95); single-level runs smooth once
+            x, xl = _smooth_sharded(f, x, xl, b, bl)
+            if j > 0:
+                x, xl = _smooth_sharded(f, x, xl, b, bl)
+            return x, xl
+        x, xl = _smooth_sharded(f, x, xl, b, bl)  # pre-smooth
+        r, _ = _residual_sharded(f, x, xl, b, bl)
+        if j == L - 1:
+            corr = tail_solve(f, r)
+        else:
+            fc = ls[j + 1]
+            bc_full = _psum(jnp.sum(
+                irv[j] * jnp.take(r, irc[j], axis=0), axis=-1))
+            me = lax.axis_index(AXIS)
+            bc = lax.dynamic_slice(
+                bc_full, (me * fc.shard_rows,), (fc.shard_rows,))
+            bc = jnp.where(fc.dirichlet_mask > 0, 0.0, bc)
+            if f.has_lagrange:
+                bc = jnp.where(fc.neumann_mask > 0, 0.0, bc)
+            xc, _ = cycle_level(
+                j + 1, jnp.zeros_like(bc), jnp.zeros((), bc.dtype),
+                bc, jnp.zeros((), bc.dtype))
+            xc_full = lax.all_gather(xc, AXIS, tiled=True)
+            corr = jnp.sum(
+                ipv[j] * jnp.take(xc_full, ipc[j], axis=0), axis=-1)
+        if not f.has_lagrange:
+            corr = jnp.where(f.dirichlet_mask > 0, 0.0, corr)
+        x = x + corr
+        x, xl = _smooth_sharded(f, x, xl, b, bl)  # post-smooth
+        return x, xl
+
+    x = _bound_eval_local(ls[0], xf, bf)
+    return cycle_level(0, x, x_lag, bf, b_lag)
+
+
+def _unstack(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc):
+    """Drop the leading per-shard axis shard_map leaves on every operand."""
+    ls = [jax.tree_util.tree_map(lambda a: a[0], la) for la in lvl_arrs]
+    return (ls, [a[0] for a in irv], [a[0] for a in irc],
+            [a[0] for a in ipv], [a[0] for a in ipc],
+            rv[0], rc[0], pv[0], pc[0])
+
+
+def _sharded_in_specs(shier: ShardedHierarchy):
+    spec_of = lambda t: jax.tree_util.tree_map(lambda _: P(AXIS), t)
+    return (
+        spec_of(shier.sharded),
+        spec_of(shier.inter_restrict_vals),
+        spec_of(shier.inter_restrict_lcols),
+        spec_of(shier.inter_prolong_vals),
+        spec_of(shier.inter_prolong_cols),
+        P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+    )
+
+
+def _sharded_operands(shier: ShardedHierarchy):
+    return (
+        shier.sharded,
+        shier.inter_restrict_vals, shier.inter_restrict_lcols,
+        shier.inter_prolong_vals, shier.inter_prolong_cols,
+        shier.restrict_vals, shier.restrict_lcols,
+        shier.prolong_vals, shier.prolong_cols,
+    )
+
+
 def make_sharded_vcycle(shier: ShardedHierarchy, mesh: Mesh):
     """Returns vcycle_fn(xf, x_lag, bf, b_lag) -> (xf, x_lag, resid) with
     xf/bf sharded [P*Ns] over the mesh axis; Lagrange scalars replicated.
@@ -243,100 +336,30 @@ def make_sharded_vcycle(shier: ShardedHierarchy, mesh: Mesh):
     solution is all_gathered for the local prolongation product.
     Coarse-level sources/solutions are internal (recomputed each cycle
     from the restriction, like the reference)."""
-    levels = shier.sharded
-    L = len(levels)
     coarse = _zeroed_dirichlet_hier(shier.coarse)
     has_coarse = len(coarse.levels) > 0
 
     def mapped(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc,
                xf, x_lag, bf, b_lag):
-        ls = [jax.tree_util.tree_map(lambda a: a[0], la) for la in lvl_arrs]
-
-        def tail_solve(f, r):
-            """Restrict the last sharded level's residual into the
-            replicated tail, sub-cycle, return the correction."""
-            bc = _psum(jnp.sum(rv[0] * jnp.take(r, rc[0], axis=0), axis=-1))
-            opc = coarse.levels[-1]
-            bc = sm.zero_dirichlet(opc, bc)
-            if f.has_lagrange:
-                bc = jnp.where(opc.neumann_mask > 0, 0.0, bc)
-            cstate = vc.init_state(coarse, jnp.zeros(opc.n, bc.dtype))
-            cstate = cstate.replace_level(
-                len(coarse.levels) - 1, b=bc, b_lag=jnp.zeros((), bc.dtype))
-            cstate, _ = vc.v_cycle(coarse, cstate)
-            xc = cstate.x[-1]
-            return jnp.sum(pv[0] * jnp.take(xc, pc[0], axis=0), axis=-1)
-
-        def cycle_level(j, x, xl, b, bl):
-            f = ls[j]
-            pin = f.dirichlet_values if j == 0 else 0.0
-            x = jnp.where(f.dirichlet_mask > 0, pin, x)  # boundaryOp
-            if j == L - 1 and not has_coarse:
-                # coarsest is sharded: reference double-smooth
-                # (multigrid.cpp:91-95); single-level runs smooth once
-                x, xl = _smooth_sharded(f, x, xl, b, bl)
-                if j > 0:
-                    x, xl = _smooth_sharded(f, x, xl, b, bl)
-                return x, xl
-            x, xl = _smooth_sharded(f, x, xl, b, bl)  # pre-smooth
-            r, _ = _residual_sharded(f, x, xl, b, bl)
-            if j == L - 1:
-                corr = tail_solve(f, r)
-            else:
-                fc = ls[j + 1]
-                bc_full = _psum(jnp.sum(
-                    irv[j][0] * jnp.take(r, irc[j][0], axis=0), axis=-1))
-                me = lax.axis_index(AXIS)
-                bc = lax.dynamic_slice(
-                    bc_full, (me * fc.shard_rows,), (fc.shard_rows,))
-                bc = jnp.where(fc.dirichlet_mask > 0, 0.0, bc)
-                if f.has_lagrange:
-                    bc = jnp.where(fc.neumann_mask > 0, 0.0, bc)
-                xc, _ = cycle_level(
-                    j + 1, jnp.zeros_like(bc), jnp.zeros((), bc.dtype),
-                    bc, jnp.zeros((), bc.dtype))
-                xc_full = lax.all_gather(xc, AXIS, tiled=True)
-                corr = jnp.sum(
-                    ipv[j][0] * jnp.take(xc_full, ipc[j][0], axis=0), axis=-1)
-            if not f.has_lagrange:
-                corr = jnp.where(f.dirichlet_mask > 0, 0.0, corr)
-            x = x + corr
-            x, xl = _smooth_sharded(f, x, xl, b, bl)  # post-smooth
-            return x, xl
-
-        f0 = ls[0]
+        ops = _unstack(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc)
+        f0 = ops[0][0]
         resid = _rel_resid_sharded(f0, xf, x_lag, bf, b_lag)
-        x = _bound_eval_local(f0, xf, bf)
-        x, x_lag = cycle_level(0, x, x_lag, bf, b_lag)
+        x, x_lag = _cycle_core(*ops, coarse=coarse, has_coarse=has_coarse,
+                               xf=xf, x_lag=x_lag, bf=bf, b_lag=b_lag,
+                               homogeneous=False)
         return x, x_lag, resid
 
-    spec_of = lambda t: jax.tree_util.tree_map(lambda _: P(AXIS), t)
     mapped_sharded = jax.shard_map(
         mapped,
         mesh=mesh,
-        in_specs=(
-            spec_of(levels),
-            spec_of(shier.inter_restrict_vals),
-            spec_of(shier.inter_restrict_lcols),
-            spec_of(shier.inter_prolong_vals),
-            spec_of(shier.inter_prolong_cols),
-            P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-            P(AXIS), P(), P(AXIS), P(),
-        ),
+        in_specs=_sharded_in_specs(shier) + (P(AXIS), P(), P(AXIS), P()),
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def vcycle_fn(xf, x_lag, bf, b_lag):
-        return mapped_sharded(
-            levels,
-            shier.inter_restrict_vals, shier.inter_restrict_lcols,
-            shier.inter_prolong_vals, shier.inter_prolong_cols,
-            shier.restrict_vals, shier.restrict_lcols,
-            shier.prolong_vals, shier.prolong_cols,
-            xf, x_lag, bf, b_lag,
-        )
+        return mapped_sharded(*_sharded_operands(shier), xf, x_lag, bf, b_lag)
 
     return vcycle_fn
 
@@ -362,6 +385,120 @@ def make_sharded_solver(shier: ShardedHierarchy, mesh: Mesh, max_cycles: int = 2
             cond, body, (xf, x_lag, jnp.ones((), jnp.int32), r0)
         )
         return xf, x_lag, it, resid
+
+    return solve
+
+
+def make_sharded_bicgstab(shier: ShardedHierarchy, mesh: Mesh,
+                          max_iters: int = 100):
+    """V-cycle-preconditioned BiCGStab on the sharded bordered fine system.
+
+    The distributed production solve (mirrors mg/krylov.solve_bicgstab):
+    raw V-cycling diverges on small Neumann multi-level hierarchies
+    (PARITY.md deviation 5), so the sharded path needs the same Krylov
+    wrapper to reach reference tolerances.  Every dot product is a
+    ``psum``; the preconditioner is one homogeneous sharded V-cycle from
+    zero (linear by construction); the whole loop — including the inner
+    cycle — lives in ONE ``shard_map`` so frontier ppermutes and coarse
+    psums compose inside ``lax.while_loop``.
+
+    Returns solve(xf, x_lag, bf, b_lag, tol) -> (xf, x_lag, iters, resid)
+    with xf/bf sharded over the mesh axis (shard_vector layout).
+    """
+    coarse = _zeroed_dirichlet_hier(shier.coarse)
+    has_coarse = len(coarse.levels) > 0
+
+    def mapped(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc,
+               xf, x_lag, bf, b_lag, tol):
+        ops = _unstack(lvl_arrs, irv, irc, ipv, ipc, rv, rc, pv, pc)
+        f0 = ops[0][0]
+
+        def precond(v, vl):
+            z, zl = _cycle_core(*ops, coarse=coarse, has_coarse=has_coarse,
+                                xf=jnp.zeros_like(v),
+                                x_lag=jnp.zeros((), v.dtype),
+                                bf=v, b_lag=vl, homogeneous=True)
+            return _bound_eval_local(f0, z, v), zl
+
+        def mv(x, xl):
+            y, yl = _matvec_sharded(f0, x, xl)
+            y = jnp.where(f0.dirichlet_mask > 0, x, y)
+            if not f0.has_lagrange:
+                yl = xl  # keep the extra slot trivially consistent
+            return y, yl
+
+        def dot(u, ul, v, vl):
+            return _psum(jnp.vdot(u, v)) + ul * vl
+
+        def l1(u, ul):
+            return _psum(jnp.sum(jnp.abs(u))) + jnp.abs(ul)
+
+        # Dirichlet rows carry the equation x_d = g
+        b = jnp.where(f0.dirichlet_mask > 0, f0.dirichlet_values, bf)
+        bnorm = l1(b, b_lag)
+
+        ax, axl = mv(xf, x_lag)
+        r, rl = b - ax, b_lag - axl
+        rhat, rhatl = r, rl
+        init = dict(
+            x=xf, xl=x_lag, r=r, rl=rl, p=r, pl=rl,
+            rho=dot(rhat, rhatl, r, rl),
+            it=jnp.zeros((), jnp.int32),
+            resid=l1(r, rl) / bnorm,
+        )
+
+        def cond(c):
+            return jnp.logical_and(c["resid"] >= tol, c["it"] < max_iters)
+
+        def body(c):
+            p, pl = c["p"], c["pl"]
+            phat, phatl = precond(p, pl)
+            v, vl = mv(phat, phatl)
+            den = dot(rhat, rhatl, v, vl)
+            alpha = c["rho"] / jnp.where(den == 0, 1e-300, den)
+            s, sl = c["r"] - alpha * v, c["rl"] - alpha * vl
+            shat, shatl = precond(s, sl)
+            t, tl = mv(shat, shatl)
+            tt = dot(t, tl, t, tl)
+            omega = dot(t, tl, s, sl) / jnp.where(tt == 0, 1e-300, tt)
+            x = c["x"] + alpha * phat + omega * shat
+            xl = c["xl"] + alpha * phatl + omega * shatl
+            r2, r2l = s - omega * t, sl - omega * tl
+            rho2 = dot(rhat, rhatl, r2, r2l)
+            beta = (rho2 / jnp.where(c["rho"] == 0, 1e-300, c["rho"])) * (
+                alpha / jnp.where(omega == 0, 1e-300, omega))
+            p2 = r2 + beta * (p - omega * v)
+            p2l = r2l + beta * (pl - omega * vl)
+            resid2 = l1(r2, r2l) / bnorm
+            # breakdown: keep the previous iterate, stop via sentinel
+            ok = (jnp.isfinite(resid2) & jnp.isfinite(rho2)
+                  & jnp.isfinite(_psum(jnp.sum(jnp.abs(p2)))))
+            sel = lambda a, bb: jnp.where(ok, a, bb)
+            return dict(
+                x=sel(x, c["x"]), xl=sel(xl, c["xl"]),
+                r=sel(r2, c["r"]), rl=sel(r2l, c["rl"]),
+                p=sel(p2, c["p"]), pl=sel(p2l, c["pl"]),
+                rho=sel(rho2, c["rho"]), it=c["it"] + 1,
+                resid=jnp.where(ok, resid2, -1.0),
+            )
+
+        out = lax.while_loop(cond, body, init)
+        x = jnp.where(f0.dirichlet_mask > 0, f0.dirichlet_values, out["x"])
+        x = _bound_eval_local(f0, x, bf)
+        return x, out["xl"], out["it"], out["resid"]
+
+    mapped_sharded = jax.shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=_sharded_in_specs(shier) + (P(AXIS), P(), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def solve(xf, x_lag, bf, b_lag, tol):
+        return mapped_sharded(*_sharded_operands(shier),
+                              xf, x_lag, bf, b_lag, jnp.asarray(tol))
 
     return solve
 

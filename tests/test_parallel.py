@@ -22,6 +22,7 @@ from meshlessmultigridpoisson_tpu.parallel import (
 )
 from meshlessmultigridpoisson_tpu.parallel.sharded import (
     _frontier_exchange,
+    make_sharded_bicgstab,
     make_sharded_solver,
     shard_vector,
     unshard_vector,
@@ -118,8 +119,8 @@ def test_two_sharded_levels_solution_parity(mesh, neumann):
 
     Dirichlet: raw cycling converges — solve to 1e-8 and match the serial
     solution.  Neumann: raw 3-level cycling diverges even SERIALLY on this
-    hierarchy (PARITY.md deviation 5; production wraps BiCGStab), so assert
-    the sharded cycle tracks the serial engine's residual history instead.
+    hierarchy (PARITY.md deviation 5; production wraps BiCGStab), so the
+    SHARDED BiCGStab must solve it to 1e-8 and match the serial solution.
     """
     prob = make_poisson_problem(
         "square", sizes=[170, 600, 2500], poly_deg=4, k1=1, neumann=neumann
@@ -132,21 +133,9 @@ def test_two_sharded_levels_solution_parity(mesh, neumann):
     bf = shard_vector(shier, mesh, b_log)
 
     if neumann:
-        cycle = make_sharded_vcycle(shier, mesh)
-        xf, xl, bl = jnp.zeros_like(bf), jnp.zeros(()), jnp.zeros(())
-        hist = []
-        for _ in range(12):
-            xf, xl, r = cycle(xf, xl, bf, bl)
-            hist.append(float(r))
-        state, hist_serial = run_v_cycles(prob.hierarchy, prob.state0, 12)
-        h, hs = np.asarray(hist), np.asarray(hist_serial)
-        assert np.isfinite(h).all()
-        # same (divergent) cycle behavior within an order of magnitude
-        assert h[-1] < 30 * hs[-1]
-        assert h[-1] > hs[-1] / 30
-        return
-
-    solver = make_sharded_solver(shier, mesh, max_cycles=400)
+        solver = make_sharded_bicgstab(shier, mesh, max_iters=200)
+    else:
+        solver = make_sharded_solver(shier, mesh, max_cycles=400)
     xf, xl, it, resid = solver(jnp.zeros_like(bf), jnp.zeros(()), bf,
                                jnp.zeros(()), 1e-8)
     assert float(resid) < 1e-8, f"2-sharded-level solve stalled at {float(resid)}"
@@ -154,6 +143,9 @@ def test_two_sharded_levels_solution_parity(mesh, neumann):
     st, _, _ = solve_bicgstab(prob.hierarchy, prob.state0, tol=1e-10)
     serial = np.asarray(op.to_logical(st.x[-1]))
     x_log = unshard_vector(shier, xf)
+    if neumann:  # gauge: fix the mean (Lagrange leaves a 1-dim family)
+        x_log = x_log - x_log.mean()
+        serial = serial - serial.mean()
     scale = max(np.abs(serial).max(), 1e-30)
     diff = np.abs(x_log - serial).max() / scale
     assert diff < 1e-6, f"2-level-sharded vs serial diff {diff:.2e}"
