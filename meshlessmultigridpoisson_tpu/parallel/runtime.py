@@ -73,7 +73,15 @@ def init_distributed(
         # without arguments — only attempt that when explicitly requested)
         return False
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # Probe the distributed client directly: jax.process_count() would
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run at all.
+    client = getattr(
+        getattr(getattr(jax, "_src", None), "distributed", None),
+        "global_state", None)
+    already = _initialized or (
+        client is not None and getattr(client, "client", None) is not None)
+    if already:
         return jax.process_count() > 1  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

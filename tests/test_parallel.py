@@ -315,3 +315,81 @@ def test_init_distributed_single_process_noop():
     topo = topology_summary()
     assert topo["num_processes"] == 1 and topo["process_id"] == 0
     assert topo["num_devices"] >= 8  # the virtual mesh (conftest)
+
+
+_DIST_WORKER = r"""
+import os, sys
+import jax
+from meshlessmultigridpoisson_tpu.parallel.runtime import (
+    init_distributed, solver_mesh, topology_summary,
+)
+
+pid = int(sys.argv[1])
+started = init_distributed(
+    coordinator_address="localhost:{port}", num_processes=2, process_id=pid)
+assert started is True, "multi-process runtime did not start"
+# idempotency across the real multi-process path
+assert init_distributed(
+    coordinator_address="localhost:{port}", num_processes=2,
+    process_id=pid) is True
+topo = topology_summary()
+assert topo["num_processes"] == 2, topo
+assert topo["process_id"] == pid, topo
+assert topo["num_devices"] == 2, topo   # one CPU device per process
+m = solver_mesh()
+assert m.devices.shape == (2,)
+# a real DCN collective over the 2-process mesh
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+arr = jax.make_array_from_callback(
+    (2,), NamedSharding(m, P("points")),
+    lambda idx: jnp.asarray([float(pid + 1)]))
+tot = jax.jit(jnp.sum, out_shardings=NamedSharding(m, P()))(arr)
+assert float(tot) == 3.0, float(tot)
+print("OK", pid, flush=True)
+"""
+
+
+def test_init_distributed_two_process_smoke(tmp_path):
+    """Real 2-process jax.distributed bring-up on CPU (the DCN path the
+    virtual mesh can't exercise): both workers initialize against one
+    coordinator, see the global 2-device topology, and run a cross-process
+    reduction."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(_DIST_WORKER.format(port=port))
+    env = dict(os.environ)
+    # a clean single-host CPU environment: no virtual-device XLA_FLAGS, no
+    # leaked cluster env, and no TPU-tunnel plugin (its sitecustomize
+    # interferes with multi-process CPU client bring-up on this rig)
+    env.update(JAX_PLATFORMS="cpu", XLA_FLAGS="", JAX_NUM_PROCESSES="",
+               JAX_COORDINATOR_ADDRESS="", JAX_PROCESS_ID="",
+               PALLAS_AXON_POOL_IPS="")
+    env = {k: v for k, v in env.items() if v != ""}
+    env["PYTHONPATH"] = "/root/repo"
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, cwd="/root/repo", text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"OK {i}" in out, out
