@@ -3,8 +3,9 @@
 The production on-device path for the reference's shipped default run
 (run_frac_step_test, FractionalStepSim.cpp:201-204).  Precision split:
 
-* predictor / corrector / PPE source: f32 on the v2 patch-table kernels
-  (spmv_tpu2) — their per-step truncation (~1e-7 relative) is orders below
+* predictor / corrector / PPE source: f32 on the v6 segment-ragged
+  kernels (spmv_tpu6; v2 patch tables as the fallback for unsupported
+  layouts) — their per-step truncation (~1e-7 relative) is orders below
   the scheme's own O(dt) error and the steady fs_residual (~1e-4);
 * the PPE solve — the reference's 1e-10 relative-L1 bar
   (FractionalStepSim.cpp:139,202) — runs through mg/mixed.solve_mixed:
@@ -37,7 +38,21 @@ from meshlessmultigridpoisson_tpu.models.fracstep import (
 )
 from meshlessmultigridpoisson_tpu.ops.ell import spmv
 from meshlessmultigridpoisson_tpu.ops.kernels import prepare_kernel_ell2, spmv_tpu2
+from meshlessmultigridpoisson_tpu.ops.kernels4 import Ell4Unsupported
+from meshlessmultigridpoisson_tpu.ops.kernels6 import (
+    KernelEll6,
+    prepare_kernel_ell6,
+    spmv_tpu6,
+)
 from meshlessmultigridpoisson_tpu.utils.jaxutils import to_device_tree
+
+
+def _prep_deriv(ell):
+    """v6 segment-ragged layout when supported, else the v2 patch tables."""
+    try:
+        return prepare_kernel_ell6(ell)
+    except Ell4Unsupported:
+        return prepare_kernel_ell2(ell)
 
 
 @partial(
@@ -87,9 +102,9 @@ def build_tpu_fracstep(prob: FracStepProblem, device=None) -> TpuFracStep:
     t = TpuFracStep(
         hd=hd,
         op64=prob.hierarchy.levels[-1],
-        dx32=prepare_kernel_ell2(prob.dx),
-        dy32=prepare_kernel_ell2(prob.dy),
-        lap32=prepare_kernel_ell2(prob.lap),
+        dx32=_prep_deriv(prob.dx),
+        dy32=_prep_deriv(prob.dy),
+        lap32=_prep_deriv(prob.lap),
         dx64=prob.dx,
         dy64=prob.dy,
         bmask=prob.bmask,
@@ -109,9 +124,9 @@ def _mv32(t: TpuFracStep):
     n_pad = t.n_pad
 
     def mv(x, xl):
-        gx = spmv_tpu2(t.dx32, x)[:n_pad]
-        gy = spmv_tpu2(t.dy32, x)[:n_pad]
-        y = spmv_tpu2(t.dx32, gx)[:n_pad] + spmv_tpu2(t.dy32, gy)[:n_pad]
+        gx = _spmv32(t.dx32, x, n_pad)
+        gy = _spmv32(t.dy32, x, n_pad)
+        y = _spmv32(t.dx32, gx, n_pad) + _spmv32(t.dy32, gy, n_pad)
         yb = spmv_tpu2(top.bound_kell, x)[: top.bound_rows.shape[0]]
         y = y.at[top.bound_rows].set(yb, mode="drop")
         y = jnp.where(top.smooth_mask + top.neumann_mask > 0, y, x)
@@ -140,6 +155,8 @@ def _mv64(t: TpuFracStep):
 
 
 def _spmv32(kell, x, n_pad):
+    if isinstance(kell, KernelEll6):
+        return spmv_tpu6(kell, x)[:n_pad]
     return spmv_tpu2(kell, x)[:n_pad]
 
 

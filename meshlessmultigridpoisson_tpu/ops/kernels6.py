@@ -156,7 +156,7 @@ def _segment_blocks(wblk_mb: np.ndarray, max_segments: int) -> list[int]:
 
 def prepare_kernel_ell6(
     ell: EllMatrix,
-    max_segments: int = 6,
+    max_segments: int = 1,
     dtype=jnp.float32,
 ) -> KernelEll6:
     """Host-side repack into the segment-ragged window layout.
@@ -164,6 +164,14 @@ def prepare_kernel_ell6(
     Shares v4's grouping scheme (stencil-centroid 16-row groups, shared
     8-slot windows per (group, patch)); assigns each contiguous block
     segment its own window count.
+
+    ``max_segments`` now defaults to 1: on-chip measurement (round 3,
+    scripts/kcache.py) showed the multi-``pallas_call`` segmentation costs
+    ~40% of SpMV throughput at 1M rows (3.51 ms vs 1.92 ms single-call)
+    while saving only ~5% of table bytes on KD-ordered operators — the
+    uniform-W single call streams at the device's pure-stream ceiling
+    (578 GB/s measured).  Pass a larger value only for layouts whose
+    window-count spread exceeds the ~1.4x multi-call penalty.
     """
     if ell.block_rows % LANES != 0:
         raise Ell4Unsupported("v6 needs 128-row-aligned blocks")
@@ -593,6 +601,255 @@ def pad_segment_windows(kell: KernelEll6, windows: int) -> KernelEll6:
         block_base=sg.block_base,
     )
     return dataclasses.replace(kell, segments=(sg2,))
+
+
+# ---------------------------------------------------------------------------
+# v7 sweep: per-program union scratch (hoisted x loads)
+# ---------------------------------------------------------------------------
+#
+# The v6 sweep reloads GMAX x-patches per BLOCK; the load->gather->dot->
+# store chain serializes and dominates (measured 5.9 ms vs 2.4 ms with
+# loads hoisted at 1M/k70, scripts/ksweepprobe.py).  v7 loads the UNION of
+# an MB-program's patches ONCE, keeps each block's own patch at slot j, and
+# writes the updated row back into the scratch slot after each block —
+# bit-identical (block, class)-GS semantics, ~2.4x faster.
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lcols8", "pids8"),
+    meta_fields=("g8max",),
+)
+@dataclasses.dataclass(frozen=True)
+class UnionSweep:
+    """Union-scratch relabeling of a KernelEll6 for the v7 sweep."""
+
+    lcols8: tuple  # per-segment [nblocks*T, 128] i16: (union_slot<<7 | lane)
+    pids8: jnp.ndarray  # [n_groups * g8max] i32 x-patch ids (own 8 first)
+    g8max: int  # union slots per program (multiple of 8, <= 32)
+
+
+def union_sweep_tables(kell: KernelEll6, max_slots: int = 32) -> UnionSweep:
+    """Host-side repack: per-MB-group union patch lists + slot-relabeled
+    column tables.  Slot j < MB is block j's own patch (so the kernel can
+    update it in place); off-group patches follow.
+
+    Raises Ell4Unsupported when a group's union exceeds ``max_slots``
+    (callers fall back to the v6 sweep).
+    """
+    nb = kell.nblocks
+    nb_cov = max(s.block_base + s.nblocks for s in kell.segments)
+    nmb = nb_cov // MB
+    pids = np.asarray(kell.pids).reshape(nb, GMAX)
+
+    others: list[np.ndarray] = []
+    for g in range(nmb):
+        lo, hi = g * MB, g * MB + MB
+        blocks = range(lo, min(hi, nb))
+        if len(list(blocks)) == 0:
+            others.append(np.zeros(0, np.int64))
+            continue
+        u = np.unique(pids[lo:min(hi, nb)])
+        others.append(u[(u < lo) | (u >= hi)])
+    max_others = max((o.size for o in others), default=0)
+    g8max = MB + _round_up(max(max_others, 1), 8)
+    if g8max > max_slots:
+        raise Ell4Unsupported(
+            f"union sweep needs {g8max} scratch slots > {max_slots}"
+        )
+
+    pids8 = np.zeros((nmb, g8max), dtype=np.int64)
+    # slot -> patch; own blocks first (clipped so loads stay in range)
+    for g in range(nmb):
+        pids8[g, :MB] = np.minimum(np.arange(g * MB, g * MB + MB), nb - 1)
+        o = others[g]
+        if o.size:
+            pids8[g, MB:MB + o.size] = o
+        # pad slots repeat a real patch (always-loaded row 0 of the list)
+        pids8[g, MB + o.size:] = pids8[g, 0]
+
+    # dense (group, patch) -> union slot lookup, then one fancy-index pass
+    P = kell.x_rows
+    slotmap = np.zeros((nmb, P), dtype=np.int16)
+    for g in range(nmb):
+        own = np.arange(g * MB, min(g * MB + MB, P))
+        slotmap[g, own] = np.arange(own.size)
+        o = others[g]
+        if o.size:
+            slotmap[g, o] = MB + np.arange(o.size)
+
+    lcols8 = []
+    for sg in kell.segments:
+        t = sg.tiles
+        lc = np.asarray(sg.lcols).astype(np.int32) & 0xFFFF
+        hi_old = lc >> 7
+        lane = lc & (LANES - 1)
+        nbk = sg.nblocks
+        # block id per tile row -> group id; old slot -> patch -> union slot
+        blk = sg.block_base + np.arange(nbk * t) // t
+        blk_real = np.minimum(blk, nb - 1)
+        pat = pids[blk_real[:, None], np.minimum(hi_old, GMAX - 1)]
+        slot = slotmap[(blk_real // MB)[:, None], pat]
+        lcols8.append(jnp.asarray(
+            ((slot.astype(np.int32) << 7) | lane).astype(np.int16)))
+
+    return UnionSweep(
+        lcols8=tuple(lcols8),
+        pids8=jnp.asarray(pids8.reshape(-1).astype(np.int32)),
+        g8max=int(g8max),
+    )
+
+
+def _gather_rows_banks(scratch, lcols, vals, t, nbanks):
+    """_gather_rows generalized to nbanks 8-row scratch banks."""
+    hi = lax.shift_right_logical(lcols, _i32(7))
+    lo = lax.bitwise_and(lcols, _i32(LANES - 1))
+    banks = [scratch[8 * b:8 * b + 8, :] for b in range(nbanks)]
+    parts = []
+    for tt in range(t // 8):
+        sl = slice(8 * tt, 8 * tt + 8)
+        h8 = lax.bitwise_and(hi[sl], _i32(7))
+        tab = _sublane_gather(banks[0], h8)
+        for b in range(1, nbanks):
+            tb = _sublane_gather(banks[b], h8)
+            tab = jnp.where(hi[sl] < _i32(8 * b), tab, tb)
+        parts.append(_lane_gather(tab, lo[sl]))
+    return vals * jnp.concatenate(parts, axis=0)
+
+
+def _sweep7_kernel(pid8_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
+                   kinvT_ref, lanesel_ref, groupsel_ref, b_ref, lagc_ref,
+                   x_in_ref, x_out_ref, scratch, *, t, w, base, first, nb,
+                   guard, fast, g8, stale):
+    i = pl.program_id(0)
+    xlag = xlag_ref[0]
+    if first:
+        @pl.when(i == _i32(0))
+        def _():
+            x_out_ref[...] = x_in_ref[...]
+
+    gbase = (base // MB + i) * g8
+    for k in range(g8):
+        scratch[k, :] = x_out_ref[pid8_ref[gbase + k], :]
+
+    for j in range(MB):
+        bi = base + i * MB + j
+
+        def body(bs):
+            prod = _gather_rows_banks(
+                scratch[...],
+                lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
+                vals_ref[j * t:(j + 1) * t, :],
+                t, g8 // 8,
+            )
+            y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
+            y = _lane_gather(y_grp, perm_ref[pl.ds(j, 1), :])
+            tvec = (b_ref[pl.ds(j, 1), :] - y
+                    - lagc_ref[pl.ds(j, 1), :] * xlag)
+            dx = jnp.dot(tvec.astype(kinvT_ref.dtype) if fast else tvec,
+                         kinvT_ref[j, :, :],
+                         preferred_element_type=jnp.float32,
+                         precision=(lax.Precision.DEFAULT if fast
+                                    else lax.Precision.HIGHEST))
+            # scratch slot j IS block bs's x row (union layout invariant)
+            newrow = scratch[j:j + 1, :] + dx
+            x_out_ref[pl.ds(bs, 1), :] = newrow
+            if not stale:
+                # exact block-sequential GS: later blocks in this program
+                # see the fresh row (serializes the per-block chain)
+                scratch[j:j + 1, :] = newrow
+
+        if guard:
+            bv = _i32(bi)
+            pl.when(bv < _i32(nb))(
+                lambda: body(jnp.minimum(bv, _i32(nb - 1))))
+        else:
+            body(_i32(bi))
+
+
+def sor_sweep_tpu7(
+    kell: KernelEll6,
+    union: UnionSweep,
+    kinvT_sg: tuple,
+    x2: jnp.ndarray,
+    x_lag: jnp.ndarray,
+    b2: jnp.ndarray,
+    lagc2: jnp.ndarray,
+    stale_program: bool = False,
+) -> jnp.ndarray:
+    """One (block, class)-GS sweep, union-scratch edition.
+
+    Default: identical semantics (and arithmetic) to sor_sweep_tpu6; the x
+    loads are hoisted to one per program and kept coherent by writing each
+    block's updated row back to its scratch slot.
+
+    ``stale_program=True``: blocks within one MB-program read the
+    program-start snapshot (no scratch writeback) — an (MB-block)-Jacobi /
+    in-block-GS hybrid.  The FIXED POINT is unchanged (dx = K r = 0 iff
+    r = 0); only the contraction rate moves (measured ~1e-3 rho delta on
+    production operators, scripts/rho_delta.py --stale).  This breaks the
+    per-block serial chain, which dominates the exact sweep's wall time
+    (2.4 ms vs 5.9 ms at 1M/k70, scripts/ksweepprobe.py).
+    """
+    dtype = kell.segments[0].vals.dtype
+    lanesel = jnp.asarray(_lanesel())
+    groupsel = jnp.asarray(_groupsel())
+    z2 = lambda i, pp: (np.int32(0),) * 2
+    rowspec_full = pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM)
+    xl = jnp.asarray([x_lag], dtype)
+    nb = kell.nblocks
+    nb_cov = max(sg.block_base + sg.nblocks for sg in kell.segments)
+    g8 = union.g8max
+
+    def pad_rows(v):
+        if nb_cov == nb:
+            return v
+        return jnp.concatenate(
+            [v, jnp.zeros((nb_cov - nb, LANES), v.dtype)], 0)
+
+    perm_pad = pad_rows(kell.perm)
+    b_pad = pad_rows(b2)
+    lagc_pad = pad_rows(lagc2)
+    for si, sg in enumerate(kell.segments):
+        t = sg.tiles
+        seg_row = functools.partial(
+            lambda b0, i, pp: (b0 + i, np.int32(0)), sg.block_base // MB)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(sg.nblocks // MB,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i, pp: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((MB, LANES), seg_row),
+                pl.BlockSpec((MB, LANES, LANES),
+                             lambda i, pp: (i, np.int32(0), np.int32(0))),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((MB, LANES), seg_row),
+                pl.BlockSpec((MB, LANES), seg_row),
+                rowspec_full,
+            ],
+            out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((g8, LANES), dtype)],
+        )
+        x2 = pl.pallas_call(
+            functools.partial(
+                _sweep7_kernel, t=t, w=sg.windows, base=sg.block_base,
+                first=True, nb=nb,
+                guard=sg.block_base + sg.nblocks > nb,
+                fast=kinvT_sg[si].dtype == jnp.bfloat16,
+                g8=g8, stale=stale_program,
+            ),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={10: 0},
+        )(
+            union.pids8, xl, sg.vals, union.lcols8[si], perm_pad,
+            kinvT_sg[si], lanesel, groupsel, b_pad, lagc_pad, x2,
+        )
+    return x2
 
 
 def pack_oneshot_K6(kell: KernelEll6, kinvT: np.ndarray, dtype=jnp.float32):

@@ -175,3 +175,48 @@ def test_sweep6_fixed_point(pattern, kell):
             kell, kinv_sg, x2, jnp.zeros((), jnp.float32), b2, lagc2))
     # f32 representation of the fixed point moves only at rounding level
     np.testing.assert_allclose(out, np.asarray(x2), rtol=0, atol=5e-4)
+
+
+def test_sweep7_union_matches_sweep6(pattern, kell):
+    """v7 union-scratch sweep == v6 sweep (same GS arithmetic, hoisted x
+    loads) on the multi-segment layout, including the MB tail guard."""
+    ell = ell_from_csr(pattern, block_rows=128)
+    rng = np.random.default_rng(11)
+    nb = kell.nblocks
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    kinv_sg = K6.pack_oneshot_K6(kell, kinvT)
+    union = K6.union_sweep_tables(kell)
+    assert union.g8max % 8 == 0 and union.g8max <= 32
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    lagc2 = jnp.asarray(rng.standard_normal((nb, 128)) * 0.01, jnp.float32)
+    xl = jnp.asarray(0.37, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out6 = np.asarray(K6.sor_sweep_tpu6(kell, kinv_sg, x2, xl, b2, lagc2))
+        out7 = np.asarray(K6.sor_sweep_tpu7(
+            kell, union, kinv_sg, x2, xl, b2, lagc2))
+    scale = max(np.abs(out6).max(), 1.0)
+    np.testing.assert_allclose(out7, out6, rtol=0, atol=1e-6 * scale)
+
+
+def test_sweep7_single_segment(pattern):
+    """v7 on the single-segment production layout (max_segments=1)."""
+    ell = ell_from_csr(pattern, block_rows=128)
+    kell1 = K6.prepare_kernel_ell6(ell, max_segments=1)
+    assert len(kell1.segments) == 1
+    rng = np.random.default_rng(12)
+    nb = kell1.nblocks
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    kinv_sg = K6.pack_oneshot_K6(kell1, kinvT)
+    union = K6.union_sweep_tables(kell1)
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    lagc2 = jnp.zeros((nb, 128), jnp.float32)
+    xl = jnp.asarray(0.0, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out7 = np.asarray(K6.sor_sweep_tpu7(
+            kell1, union, kinv_sg, x2, xl, b2, lagc2))
+    ref = _oneshot_oracle(ell, kinvT, x2, 0.0, b2, lagc2)
+    np.testing.assert_allclose(out7.reshape(-1), ref, rtol=3e-4, atol=3e-4)
