@@ -49,6 +49,11 @@ def main(argv=None):
                     help="fixed V-cycle count instead of solving to --tol")
     ps.add_argument("--solver", default="bicgstab",
                     choices=["bicgstab", "vcycle"])
+    ps.add_argument("--fast-k", action="store_true",
+                    help="store the one-shot sweep K tensor in bfloat16 "
+                         "(TPU path): ~34%% fewer sweep HBM bytes; smoother "
+                         "fixed point unchanged, accuracy owned by the f64 "
+                         "defect outer loop")
     ps.add_argument("--profile", action="store_true",
                     help="attach a per-level kernel profile (sweep/matvec "
                          "ms, nnz/s, modeled GB/s) and effective solve "
@@ -68,6 +73,10 @@ def main(argv=None):
     pn.add_argument("--implicit-diffusion", action="store_true",
                     help="backward-Euler viscosity (needed at deg 6 + fine N)")
     pn.add_argument("--p-relax", type=float, default=0.7)
+    pn.add_argument("--msh", nargs="+", default=None, metavar="FILE",
+                    help="Gmsh v2 .msh files, coarse -> fine, replacing "
+                         "--sizes (the reference's own NS input path, "
+                         "FractionalStepSim.cpp:190-199)")
     pn.add_argument("--out", default=None)
 
     pw = sub.add_parser("sweep", help="the reference run_tests parameter sweep")
@@ -170,7 +179,8 @@ def _solve_tpu(args):
     with Timer() as t_setup:
         with on_cpu():
             prob = _build_problem(args)
-            thier = tpu_hierarchy(prob.hierarchy)
+            k_dtype = jnp.bfloat16 if getattr(args, "fast_k", False) else None
+            thier = tpu_hierarchy(prob.hierarchy, k_dtype=k_dtype)
     dev = jax.devices()[0]
     thier = jax.device_put(thier, dev)
     op64 = to_device_tree(prob.hierarchy.levels[-1], device=dev)
@@ -181,7 +191,8 @@ def _solve_tpu(args):
         name=f"poisson-{args.geom}-tpu",
         config=dict(sizes=[c.n for c in prob.clouds], deg=args.deg, k=args.k,
                     neumann=args.neumann, solver="mixed-defect", tol=args.tol,
-                    platform="tpu", msh=getattr(args, "msh", None)),
+                    platform="tpu", msh=getattr(args, "msh", None),
+                    fast_k=bool(getattr(args, "fast_k", False))),
     )
     hd = mixed.defect_hierarchy(thier)
     x0 = jnp.zeros(op64.n_pad, jnp.float64)
@@ -304,14 +315,17 @@ def _ns(args):
         prob = fs.build_fracstep_problem(
             sizes=list(args.sizes), poly_deg=args.deg, config=cfg,
             compatible_ppe=not args.reference_ppe,
+            msh_files=getattr(args, "msh", None),
         )
     print(f"setup: {t_setup.elapsed:.1f}s", file=sys.stderr)
     state = prob.state0
     rec = SolveRecord(
         name="fracstep-kovasznay",
-        config=dict(sizes=list(args.sizes), deg=args.deg, dt=args.dt,
-                    steps=args.steps, compatible=not args.reference_ppe,
-                    platform=args.platform),
+        config=dict(sizes=[c.n for c in prob.clouds], deg=args.deg,
+                    dt=args.dt, steps=args.steps,
+                    compatible=not args.reference_ppe,
+                    platform=args.platform,
+                    msh=getattr(args, "msh", None)),
     )
     if args.platform == "tpu":
         from meshlessmultigridpoisson_tpu.models.fracstep_tpu import run_tpu

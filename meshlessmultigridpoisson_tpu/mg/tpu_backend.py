@@ -126,7 +126,8 @@ def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
 
 
 def tpu_level_from_operator(
-    op: LevelOperator, dtype=jnp.float32, use_v6: bool | None = None
+    op: LevelOperator, dtype=jnp.float32, use_v6: bool | None = None,
+    k_dtype=None,
 ) -> TpuLevel:
     """Repack a CPU-built LevelOperator for TPU kernels (host-side).
 
@@ -136,6 +137,13 @@ def tpu_level_from_operator(
     extra HBM streaming per sweep and a chunked host-side inversion pass at
     setup, which a memory-constrained deployment may want to skip on levels
     where sweep time is negligible.
+
+    ``k_dtype``: storage dtype for the one-shot K tensor only (default =
+    ``dtype``).  ``jnp.bfloat16`` halves the K stream (~34% of sweep HBM
+    bytes at k=70).  Safe for production: K multiplies the sweep residual,
+    so the smoother's FIXED POINT (K @ 0 = 0) is exactly unchanged — only
+    the contraction rate moves at the bf16 rounding level, and outer f64
+    defect correction (mg/mixed.py) owns the accuracy bar.
     """
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
     # v6 path needs 8-row classes in natural order (lane//8) and a
@@ -153,7 +161,7 @@ def tpu_level_from_operator(
                     op.omega * np.asarray(op.omega_scale),
                     np.asarray(op.smooth_mask),
                 ),
-                dtype,
+                k_dtype or dtype,
             )
         except Ell4Unsupported:
             kell6, kinvT_sg = None, None
@@ -195,11 +203,13 @@ def tpu_level_from_operator(
 
 
 def tpu_hierarchy(
-    hier: Hierarchy, dtype=jnp.float32, use_v6: bool | None = None
+    hier: Hierarchy, dtype=jnp.float32, use_v6: bool | None = None,
+    k_dtype=None,
 ) -> Hierarchy:
     """Convert a CPU hierarchy to the TPU backend (transfer ops included)."""
     levels = tuple(
-        tpu_level_from_operator(op, dtype, use_v6=use_v6) for op in hier.levels
+        tpu_level_from_operator(op, dtype, use_v6=use_v6, k_dtype=k_dtype)
+        for op in hier.levels
     )
     restrict = tuple(prepare_kernel_ell2(r, dtype=dtype) for r in hier.restrict)
     prolong = tuple(prepare_kernel_ell2(p, dtype=dtype) for p in hier.prolong)

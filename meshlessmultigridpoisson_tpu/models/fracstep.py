@@ -125,6 +125,7 @@ def build_fracstep_problem(
     block_rows: int = 256,
     stabilize: bool = True,
     compatible_ppe: bool = True,
+    msh_files: list[str] | None = None,
 ) -> FracStepProblem:
     """genFractionalStepGrid + gen_fracstep_param equivalent
     (FractionalStepSim.cpp:3-79): square clouds, Neumann pressure BCs,
@@ -143,15 +144,27 @@ def build_fracstep_problem(
     a smoother).  Set False for strict reference parity.
     """
     config = config or FracStepConfig()
-    if sizes is None:
-        sizes = list(REFERENCE_MG_SIZES["square"][:num_levels])
+    if msh_files:
+        # real Gmsh v2 meshes, coarse -> fine (the reference's own input
+        # path for the NS runs, FractionalStepSim.cpp:190-199)
+        from meshlessmultigridpoisson_tpu.geometry.msh import (
+            pointcloud_from_msh,
+        )
+
+        clouds = [pointcloud_from_msh(p, geomtype="square")
+                  for p in msh_files]
+        sizes = [c.n for c in clouds]
+    else:
+        if sizes is None:
+            sizes = list(REFERENCE_MG_SIZES["square"][:num_levels])
+        clouds = [make_cloud("square", n, seed=seed + i)
+                  for i, n in enumerate(sizes)]
     mg_config = MultigridConfig(
         num_levels=len(sizes),
         fine_poly_deg=poly_deg,
         coarse_poly_deg=3,
         transfer_poly="base",  # FracStepMultigrid.cpp:23
     )
-    clouds = [make_cloud("square", n, seed=seed + i) for i, n in enumerate(sizes)]
     bc_types = ["neumann"]
 
     re = config.reynolds

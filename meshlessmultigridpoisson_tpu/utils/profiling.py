@@ -24,15 +24,18 @@ def chain_time(op, x0, k: int = 16, reps: int = 5) -> float:
     """Median seconds per application of ``op`` via chained delta timing.
 
     op(x) -> y with y feedable back as x.  Returns (T(k)-T(1))/(k-1).
+    The chain is a ``fori_loop`` (one compiled body regardless of k, so a
+    long chain — needed to beat the multi-ms tunnel dispatch noise on
+    small levels — costs no extra compile time).
     """
 
     def make(n):
         def f(x):
-            y = op(x)
-            for _ in range(n - 1):
-                y = op(y * 1.0000001)  # dependency bump, defeats CSE
-            r = y.reshape(-1)
-            return r[:128] * 1.0
+            def body(_, y):
+                return op(y) * 1.0000001  # dependency bump, defeats CSE
+
+            y = jax.lax.fori_loop(0, n, body, x)
+            return y.reshape(-1)[:128] * 1.0
 
         return jax.jit(f)
 
@@ -52,10 +55,9 @@ def chain_time(op, x0, k: int = 16, reps: int = 5) -> float:
 
 
 def _level_nnz(op) -> int:
-    try:  # TpuLevel: count from the f32 kernel table
-        return int(np.count_nonzero(np.asarray(op.kell.ell.vals)))
-    except AttributeError:
-        pass
+    kell = getattr(op, "kell", None)
+    if kell is not None:  # TpuLevel: count from the f32 kernel table
+        return int(np.count_nonzero(np.asarray(kell.vals_flat)))
     try:
         return int(np.count_nonzero(np.asarray(op.A.vals)))
     except AttributeError:
@@ -100,9 +102,12 @@ def profile_hierarchy(hier, reps: int = 5, k: int = 16) -> list[dict[str, Any]]:
         zl = jnp.zeros((), dtype)
         b = jnp.zeros(n_pad, dtype)
 
-        t_mv = chain_time(lambda x: sm.matvec(op, x, zl)[0], x0, k=k, reps=reps)
+        # chain long enough that k ops dwarf the multi-ms dispatch noise on
+        # coarse levels (~2e7 row-updates per timed call), capped at 2048
+        kl = int(max(k, min(2048, -(-2e7 // max(n_pad, 1)))))
+        t_mv = chain_time(lambda x: sm.matvec(op, x, zl)[0], x0, k=kl, reps=reps)
         t_sw = chain_time(
-            lambda x: sm.smooth(op, x, zl, b, zl, iters=1)[0], x0, k=k, reps=reps
+            lambda x: sm.smooth(op, x, zl, b, zl, iters=1)[0], x0, k=kl, reps=reps
         )
         nnz = _level_nnz(op)
         row = dict(
