@@ -85,18 +85,22 @@ class Segment:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("segments", "pids", "perm"),
-    meta_fields=("nrows", "ncols", "nrows_pad"),
+    meta_fields=("nrows", "ncols", "nrows_pad", "gmax"),
 )
 @dataclasses.dataclass(frozen=True)
 class KernelEll6:
     """Segment-ragged window layout (see module docstring)."""
 
     segments: tuple  # tuple[Segment, ...] covering blocks 0..nb contiguously
-    pids: jnp.ndarray  # [nb * GMAX] i32 x-patch ids per block
+    pids: jnp.ndarray  # [nb * gmax] i32 x-patch ids per block
     perm: jnp.ndarray  # [nb, 128] i32 group-order -> row-order lane map
     nrows: int
     ncols: int
     nrows_pad: int
+    # per-block x-patch capacity (multiple of 8; data-driven at prepare
+    # time so wide blocks — long-range boundary/condensation couplings at
+    # 100k+ rows — stay on the v6 path instead of falling back to v2)
+    gmax: int = GMAX
 
     @property
     def nblocks(self) -> int:
@@ -158,6 +162,7 @@ def prepare_kernel_ell6(
     ell: EllMatrix,
     max_segments: int = 1,
     dtype=jnp.float32,
+    max_patches: int = 64,
 ) -> KernelEll6:
     """Host-side repack into the segment-ragged window layout.
 
@@ -246,16 +251,22 @@ def prepare_kernel_ell6(
     b_of = bp_u // P
     blk_start = np.flatnonzero(np.r_[True, b_of[1:] != b_of[:-1]])
     per_blk = np.diff(np.r_[blk_start, bp_u.size])
+    gmax = GMAX
     if per_blk.size and per_blk.max() > GMAX:
-        raise Ell4Unsupported(
-            f"a block has {per_blk.max()} off-block patches > {GMAX}"
-        )
-    pids = np.zeros((nb, GMAX), dtype=np.int64)
+        # widen the scratch in whole 8-row banks; each extra bank costs one
+        # sublane-gather + select per 8-row tile in the kernels, so cap it
+        gmax = int(_round_up(int(per_blk.max()), 8))
+        if gmax > max_patches:
+            raise Ell4Unsupported(
+                f"a block has {per_blk.max()} off-block patches "
+                f"> max_patches={max_patches}"
+            )
+    pids = np.zeros((nb, gmax), dtype=np.int64)
     loc = np.arange(bp_u.size) - np.repeat(blk_start, per_blk)
     pids[b_of, loc] = bp_u % P
     cnt_b = np.zeros(nb, dtype=np.int64)
     cnt_b[b_of[blk_start]] = per_blk
-    colr = np.arange(GMAX)
+    colr = np.arange(gmax)
     pids = np.where(colr[None, :] < np.maximum(cnt_b, 1)[:, None],
                     pids, pids[:, :1])
     first_of_blk = np.zeros(nb, dtype=np.int64)
@@ -321,6 +332,7 @@ def prepare_kernel_ell6(
         nrows=ell.nrows,
         ncols=ell.ncols,
         nrows_pad=n_pad,
+        gmax=int(gmax),
     )
 
 
@@ -331,20 +343,9 @@ def prepare_kernel_ell6(
 
 def _gather_rows(scratch, lcols, vals, t):
     """Entry products for t tile rows: vals * x[cols], [t,128] (two-stage
-    gather: sublane patch select, then lane gather)."""
-    hi = lax.shift_right_logical(lcols, _i32(7))
-    lo = lax.bitwise_and(lcols, _i32(LANES - 1))
-    s8a = scratch[0:8, :]
-    s8b = scratch[8:GMAX, :]
-    parts = []
-    for tt in range(t // 8):
-        sl = slice(8 * tt, 8 * tt + 8)
-        h8 = lax.bitwise_and(hi[sl], _i32(7))
-        ta = _sublane_gather(s8a, h8)
-        tb = _sublane_gather(s8b, h8)
-        tab = jnp.where(hi[sl] < _i32(8), ta, tb)
-        parts.append(_lane_gather(tab, lo[sl]))
-    return vals * jnp.concatenate(parts, axis=0)
+    gather: sublane patch select, then lane gather).  Two-bank special
+    case of :func:`_gather_rows_banks`."""
+    return _gather_rows_banks(scratch, lcols, vals, t, 2)
 
 
 def _vpu_reduce(prod, w, lanesel, groupsel):
@@ -380,18 +381,18 @@ def _groupsel() -> np.ndarray:
 
 def _spmv6_kernel(pid_ref, vals_ref, lcols_ref, perm_ref, lanesel_ref,
                   groupsel_ref, x_ref, out_ref, scratch, *, t, w, base,
-                  guard, nb):
+                  guard, nb, g):
     i = pl.program_id(0)
     for j in range(MB):
         bi = base + i * MB + j
         bs = jnp.minimum(_i32(bi), _i32(nb - 1)) if guard else _i32(bi)
-        for k in range(GMAX):
-            scratch[k, :] = x_ref[pid_ref[bs * GMAX + k], :]
-        prod = _gather_rows(
+        for k in range(g):
+            scratch[k, :] = x_ref[pid_ref[bs * g + k], :]
+        prod = _gather_rows_banks(
             scratch[...],
             lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
             vals_ref[j * t:(j + 1) * t, :],
-            t,
+            t, g // 8,
         )
         y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
         out_ref[pl.ds(j, 1), :] = _lane_gather(
@@ -435,13 +436,13 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
                 pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((MB, LANES), lambda i, pp: (i, np.int32(0))),
-            scratch_shapes=[pltpu.VMEM((GMAX, LANES), dtype)],
+            scratch_shapes=[pltpu.VMEM((kell.gmax, LANES), dtype)],
         )
         outs.append(pl.pallas_call(
             functools.partial(_spmv6_kernel, t=t, w=sg.windows,
                               base=sg.block_base,
                               guard=sg.block_base + sg.nblocks > kell.nblocks,
-                              nb=kell.nblocks),
+                              nb=kell.nblocks, g=kell.gmax),
             out_shape=jax.ShapeDtypeStruct((sg.nblocks, LANES), dtype),
             grid_spec=grid_spec,
         )(kell.pids, sg.vals, sg.lcols, perm_pad, lanesel, groupsel, x2))
@@ -457,7 +458,7 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
 def _sweep6_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
                    kinvT_ref, lanesel_ref, groupsel_ref, b_ref, lagc_ref,
                    x_in_ref, x_out_ref, scratch, *, t, w, base, first, nb,
-                   guard, fast):
+                   guard, fast, g):
     i = pl.program_id(0)
     xlag = xlag_ref[0]
     if first:
@@ -469,13 +470,13 @@ def _sweep6_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
         bi = base + i * MB + j
 
         def body(bs):
-            for k in range(GMAX):
-                scratch[k, :] = x_out_ref[pid_ref[bs * GMAX + k], :]
-            prod = _gather_rows(
+            for k in range(g):
+                scratch[k, :] = x_out_ref[pid_ref[bs * g + k], :]
+            prod = _gather_rows_banks(
                 scratch[...],
                 lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
                 vals_ref[j * t:(j + 1) * t, :],
-                t,
+                t, g // 8,
             )
             y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
             y = _lane_gather(y_grp, perm_ref[pl.ds(j, 1), :])
@@ -552,7 +553,7 @@ def sor_sweep_tpu6(
                 rowspec_full,
             ],
             out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((GMAX, LANES), dtype)],
+            scratch_shapes=[pltpu.VMEM((kell.gmax, LANES), dtype)],
         )
         x2 = pl.pallas_call(
             functools.partial(
@@ -560,6 +561,7 @@ def sor_sweep_tpu6(
                 first=True, nb=nb,
                 guard=sg.block_base + sg.nblocks > nb,
                 fast=kinvT_sg[si].dtype == jnp.bfloat16,
+                g=kell.gmax,
             ),
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
             grid_spec=grid_spec,
@@ -603,6 +605,22 @@ def pad_segment_windows(kell: KernelEll6, windows: int) -> KernelEll6:
     return dataclasses.replace(kell, segments=(sg2,))
 
 
+def pad_gmax(kell: KernelEll6, gmax: int) -> KernelEll6:
+    """Pad the per-block patch list to a larger ``gmax`` (multiple of 8).
+
+    Pad slots repeat the block's first patch — the same always-valid-load
+    convention prepare_kernel_ell6 uses — so kernels built from shards with
+    differing patch spreads can share one stacked pids layout."""
+    if gmax == kell.gmax:
+        return kell
+    assert gmax > kell.gmax and gmax % 8 == 0
+    p = np.asarray(kell.pids).reshape(kell.nblocks, kell.gmax)
+    out = np.concatenate(
+        [p, np.broadcast_to(p[:, :1], (p.shape[0], gmax - kell.gmax))], 1)
+    return dataclasses.replace(
+        kell, pids=jnp.asarray(out.reshape(-1)), gmax=int(gmax))
+
+
 # ---------------------------------------------------------------------------
 # v7 sweep: per-program union scratch (hoisted x loads)
 # ---------------------------------------------------------------------------
@@ -640,7 +658,7 @@ def union_sweep_tables(kell: KernelEll6, max_slots: int = 32) -> UnionSweep:
     nb = kell.nblocks
     nb_cov = max(s.block_base + s.nblocks for s in kell.segments)
     nmb = nb_cov // MB
-    pids = np.asarray(kell.pids).reshape(nb, GMAX)
+    pids = np.asarray(kell.pids).reshape(nb, kell.gmax)
 
     others: list[np.ndarray] = []
     for g in range(nmb):
@@ -688,7 +706,7 @@ def union_sweep_tables(kell: KernelEll6, max_slots: int = 32) -> UnionSweep:
         # block id per tile row -> group id; old slot -> patch -> union slot
         blk = sg.block_base + np.arange(nbk * t) // t
         blk_real = np.minimum(blk, nb - 1)
-        pat = pids[blk_real[:, None], np.minimum(hi_old, GMAX - 1)]
+        pat = pids[blk_real[:, None], np.minimum(hi_old, kell.gmax - 1)]
         slot = slotmap[(blk_real // MB)[:, None], pat]
         lcols8.append(jnp.asarray(
             ((slot.astype(np.int32) << 7) | lane).astype(np.int16)))

@@ -63,7 +63,7 @@ def _round_up(x: int, m: int) -> int:
     meta_fields=(
         "n", "n_pad2", "num_shards", "shard_rows", "frontier_rows", "phases",
         "block_rows", "class_size", "width", "has_lagrange", "omega", "iters",
-        "k6_windows", "k6_nblocks",
+        "k6_windows", "k6_nblocks", "k6_gmax",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +118,7 @@ class ShardedFineLevel:
     iters: int
     k6_windows: int  # W (0 when kernel tables absent)
     k6_nblocks: int  # nbk = round_up(Ns/128, MB)
+    k6_gmax: int = 16  # per-block patch capacity (uniform across shards)
 
     @property
     def halo(self) -> int:  # ext rows beyond own (both sides)
@@ -199,6 +200,8 @@ def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
         return None
     W = max(k.segments[0].windows for k in kells)
     kells = [K6.pad_segment_windows(k, W) for k in kells]
+    G = max(k.gmax for k in kells)
+    kells = [K6.pad_gmax(k, G) for k in kells]
     nbk = kells[0].segments[0].nblocks
     kinv = [np.asarray(K6.pack_oneshot_K6(k, kk)[0])
             for k, kk in zip(kells, Ks)]
@@ -212,6 +215,7 @@ def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
         k6_kinvT=jnp.asarray(np.stack(kinv), jnp.float32),
         k6_windows=W,
         k6_nblocks=nbk,
+        k6_gmax=int(G),
     )
 
 
@@ -375,6 +379,7 @@ def partition_fine_level(
         k6_kinvT=k6["k6_kinvT"] if k6 else None,
         k6_windows=k6["k6_windows"] if k6 else 0,
         k6_nblocks=k6["k6_nblocks"] if k6 else 0,
+        k6_gmax=k6["k6_gmax"] if k6 else 16,
         n=op.n,
         n_pad2=n_pad2,
         num_shards=p,

@@ -113,6 +113,7 @@ def _kell_of(f: ShardedFineLevel):
     return K6.KernelEll6(
         segments=(seg,), pids=f.k6_pids, perm=f.k6_perm,
         nrows=f.shard_rows, ncols=_ext_pad_rows(f), nrows_pad=f.shard_rows,
+        gmax=f.k6_gmax,
     )
 
 

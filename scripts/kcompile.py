@@ -85,8 +85,14 @@ def main():
     zl64 = jnp.zeros((), jnp.float64)
 
     # single Mosaic kernels on the fine level
-    t_compile("spmv_tpu6 (fine)", lambda x: spmv_tpu6(fine.kell6, x),
-              x32, results=res)
+    print(f"fine level: n={fine.n} kell6={'yes' if fine.kell6 is not None else 'NONE (v2 fallback)'}",
+          file=sys.stderr, flush=True)
+    if fine.kell6 is not None:
+        t_compile("spmv_tpu6 (fine)", lambda x: spmv_tpu6(fine.kell6, x),
+                  x32, results=res)
+    else:
+        t_compile("matvec (fine, v2 fallback)",
+                  lambda x: sm.matvec(fine, x, zl32)[0], x32, results=res)
     t_compile(
         "oneshot sweep (fine)",
         lambda x: sm.smooth(fine, x, zl32, x, zl32, iters=1)[0],

@@ -68,7 +68,7 @@ def test_tile_row_patch_invariant(kell):
         lc = np.asarray(sg.lcols).astype(np.int32)
         hi = lc >> 7
         assert (hi == hi[:, :1]).all(), "tile row reads more than one patch"
-        assert hi.max() < K6.GMAX
+        assert hi.max() < kell.gmax
 
 
 def test_spmv6_interpret_matches_oracle(pattern, kell):
@@ -220,3 +220,84 @@ def test_sweep7_single_segment(pattern):
             kell1, union, kinv_sg, x2, xl, b2, lagc2))
     ref = _oneshot_oracle(ell, kinvT, x2, 0.0, b2, lagc2)
     np.testing.assert_allclose(out7.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+
+
+@pytest.fixture(scope="module")
+def wide_pattern():
+    """Banded matrix + long-range couplings so blocks touch > 16 x-patches
+    (the condensation/boundary-row regime at 100k+ rows that used to force
+    the v2 fallback).  33 blocks so the whole-space patch count (33)
+    exceeds the old GMAX=16 bound."""
+    n = 33 * 128
+    rng = np.random.default_rng(17)
+    rows, cols, vals = [], [], []
+    band = np.arange(-4, 5)
+    for r in range(n):
+        cc = np.clip(r + band, 0, n - 1)
+        rows.extend([r] * cc.size)
+        cols.extend(cc.tolist())
+        v = rng.standard_normal(cc.size)
+        v[4] = 20.0  # strong diagonal
+        vals.extend(v.tolist())
+        if r % 4 == 0:  # long-range couplings across many patches
+            far = rng.choice(n, size=20, replace=False)
+            rows.extend([r] * far.size)
+            cols.extend(far.tolist())
+            vals.extend((rng.standard_normal(far.size) * 0.1).tolist())
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+def test_wide_pattern_needs_gmax_banks(wide_pattern):
+    ell = ell_from_csr(wide_pattern, block_rows=128)
+    kell = K6.prepare_kernel_ell6(ell, max_segments=1)
+    assert kell.gmax > K6.GMAX and kell.gmax % 8 == 0
+    # layout invariant holds in the widened patch space
+    for sg in kell.segments:
+        hi = np.asarray(sg.lcols).astype(np.int32) >> 7
+        assert (hi == hi[:, :1]).all()
+        assert hi.max() < kell.gmax
+
+
+def test_spmv6_wide_gmax_matches_oracle(wide_pattern):
+    ell = ell_from_csr(wide_pattern, block_rows=128)
+    kell = K6.prepare_kernel_ell6(ell, max_segments=1)
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.standard_normal(ell.nrows_pad), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(K6.spmv_tpu6(kell, x))
+    yref = np.asarray(spmv(ell.astype(jnp.float32), x))
+    np.testing.assert_allclose(y[: ell.nrows], yref[: ell.nrows],
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_sweep6_wide_gmax_matches_oracle(wide_pattern):
+    ell = ell_from_csr(wide_pattern, block_rows=128)
+    kell = K6.prepare_kernel_ell6(ell, max_segments=1)
+    rng = np.random.default_rng(23)
+    nb = kell.nblocks
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    kinv_sg = K6.pack_oneshot_K6(kell, kinvT)
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    lagc2 = jnp.zeros((nb, 128), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K6.sor_sweep_tpu6(
+            kell, kinv_sg, x2, jnp.asarray(0.0, jnp.float32), b2, lagc2))
+    ref = _oneshot_oracle(ell, kinvT, x2, 0.0, b2, lagc2)
+    np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_pad_gmax_roundtrip(pattern):
+    ell = ell_from_csr(pattern, block_rows=128)
+    kell = K6.prepare_kernel_ell6(ell, max_segments=1)
+    padded = K6.pad_gmax(kell, kell.gmax + 16)
+    assert padded.gmax == kell.gmax + 16
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal(ell.nrows_pad), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y0 = np.asarray(K6.spmv_tpu6(kell, x))
+        y1 = np.asarray(K6.spmv_tpu6(padded, x))
+    np.testing.assert_array_equal(y0, y1)
