@@ -199,6 +199,10 @@ def main():
         f"{spmv_gb:.0f} GB/s ({100*spmv_gb/stream_gb:.0f}% of stream)")
 
     # --- Pallas one-shot SOR sweep (the hot solver op) ---
+    # Production stack (mg/tpu_backend.smooth): v7 union-scratch sweep when
+    # the tables build (bit-identical GS arithmetic, x loads hoisted to one
+    # per MB-program), else the per-block v6 sweep.  bf16-K "fast" mode
+    # (solve --fast-k) halves the K stream; fixed point unchanged.
     nb = kell.nblocks
     LANES = 128
     b2 = jax.device_put(jnp.asarray(
@@ -206,12 +210,54 @@ def main():
     lagc2 = jax.device_put(jnp.zeros((nb, LANES), jnp.float32), dev)
     x2 = xd[: nb * LANES].reshape(nb, LANES)
 
-    dt_sweep = chain_delta(
+    dt_sweep6 = chain_delta(
         lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
             kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
         x2, kd, kvd, b2)
+    gb6 = (tb + kb) / dt_sweep6 / 1e9
+    log(f"v6 sweep:      {dt_sweep6*1e3:.3f} ms  {nnz/dt_sweep6/1e9:.2f} Gnnz/s"
+        f"  {gb6:.0f} GB/s ({100*gb6/stream_gb:.0f}% of stream)")
+
+    try:
+        union = k6.union_sweep_tables(kell)
+    except k6.Ell4Unsupported:
+        union = None
+    dt_sweep, sweep_kind = dt_sweep6, "v6"
+    if union is not None:
+        und = jax.device_put(union, dev)
+        dt_sweep7 = chain_delta(
+            lambda xx, kk, un, kv, bb: k6.sor_sweep_tpu7(
+                kk, un, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+            x2, kd, und, kvd, b2)
+        gb7 = (tb + kb) / dt_sweep7 / 1e9
+        log(f"v7 sweep:      {dt_sweep7*1e3:.3f} ms  "
+            f"{nnz/dt_sweep7/1e9:.2f} Gnnz/s  {gb7:.0f} GB/s "
+            f"({100*gb7/stream_gb:.0f}% of stream)")
+        if dt_sweep7 < dt_sweep:
+            dt_sweep, sweep_kind = dt_sweep7, "v7-exact"
+
+    # bf16-K fast mode on the same sweep kind
+    with on_cpu():
+        kinvT_bf = tuple(kk.astype(jnp.bfloat16) for kk in kinvT)
+    kvd_bf = jax.device_put(kinvT_bf, dev)
+    kb_bf = sum(kk.size * kk.dtype.itemsize for kk in kinvT_bf)
+    if union is not None:
+        dt_fast = chain_delta(
+            lambda xx, kk, un, kv, bb: k6.sor_sweep_tpu7(
+                kk, un, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+            x2, kd, und, kvd_bf, b2)
+    else:
+        dt_fast = chain_delta(
+            lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
+                kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+            x2, kd, kvd_bf, b2)
+    gb_fast = (tb + kb_bf) / dt_fast / 1e9
+    log(f"bf16-K sweep:  {dt_fast*1e3:.3f} ms  {nnz/dt_fast/1e9:.2f} Gnnz/s  "
+        f"{gb_fast:.0f} GB/s ({100*gb_fast/stream_gb:.0f}% of stream)")
+
     sweep_gb = (tb + kb) / dt_sweep / 1e9
-    log(f"pallas sweep: {dt_sweep*1e3:.3f} ms  {nnz/dt_sweep/1e9:.2f} Gnnz/s  "
+    log(f"pallas sweep ({sweep_kind}): {dt_sweep*1e3:.3f} ms  "
+        f"{nnz/dt_sweep/1e9:.2f} Gnnz/s  "
         f"{sweep_gb:.0f} GB/s ({100*sweep_gb/stream_gb:.0f}% of stream)")
 
     # --- naive XLA gather SpMV baseline (direct port of the CSR loop) ---
@@ -246,11 +292,16 @@ def main():
             "stream_gb_s": round(stream_gb, 1),
             "spmv_pct_of_stream": round(100 * spmv_gb / stream_gb, 1),
             "sweep_pct_of_stream": round(100 * sweep_gb / stream_gb, 1),
+            "sweep_kind": sweep_kind,
+            "sweep_v6_gnnz_s": round(nnz / dt_sweep6 / 1e9, 3),
+            "sweep_fastk_gnnz_s": round(nnz / dt_fast / 1e9, 3),
+            "sweep_fastk_gb_s": round(gb_fast, 1),
+            "sweep_fastk_pct_of_stream": round(100 * gb_fast / stream_gb, 1),
             "xla_gather_spmv_gnnz_s": round(xla_nnz_s / 1e9, 3),
             "device": str(dev),
             "n": n,
             "k": k,
-            "kernels": "v6 segment-ragged + one-shot GS",
+            "kernels": "v6/v7 segment-ragged + one-shot GS",
         },
     }
     print(json.dumps(result), flush=True)

@@ -36,7 +36,9 @@ from meshlessmultigridpoisson_tpu.ops.kernels6 import (
     pack_oneshot_K6,
     prepare_kernel_ell6,
     sor_sweep_tpu6,
+    sor_sweep_tpu7,
     spmv_tpu6,
+    union_sweep_tables,
 )
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
@@ -47,6 +49,7 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
         "kell",
         "kell6",
         "kinvT_sg",
+        "union7",
         "bound_kell",
         "bound_rows",
         "bound_diag",
@@ -78,6 +81,7 @@ class TpuLevel:
     kell: KernelEll2
     kell6: object  # segment-ragged KernelEll6 (v6 spmv + sweep), or None
     kinvT_sg: object  # per-segment one-shot sweep matrices, or None
+    union7: object  # UnionSweep tables (v7 exact sweep), or None
     bound_kell: KernelEll2  # Neumann rows, compact
     bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
     bound_diag: jnp.ndarray  # [mb_pad] f32
@@ -148,7 +152,7 @@ def tpu_level_from_operator(
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
     # v6 path needs 8-row classes in natural order (lane//8) and a
     # 128-row-aligned square operator; anything else falls back to v2.
-    kell6, kinvT_sg = None, None
+    kell6, kinvT_sg, union7 = None, None, None
     if use_v6 is None:
         use_v6 = op.class_size == 8
     if use_v6 and op.class_size == 8:
@@ -165,6 +169,14 @@ def tpu_level_from_operator(
             )
         except Ell4Unsupported:
             kell6, kinvT_sg = None, None
+    if kell6 is not None:
+        try:
+            # v7 exact sweep (hoisted per-program x loads, bit-identical
+            # GS arithmetic); falls back to the per-block v6 sweep when a
+            # program's patch union exceeds the scratch bound
+            union7 = union_sweep_tables(kell6)
+        except Ell4Unsupported:
+            union7 = None
     bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
     ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
@@ -173,6 +185,7 @@ def tpu_level_from_operator(
         kell=kell,
         kell6=kell6,
         kinvT_sg=kinvT_sg,
+        union7=union7,
         bound_kell=bk,
         bound_rows=jnp.asarray(np.asarray(op.bound.rows)),
         bound_diag=f(op.bound.ell.diag),
@@ -254,9 +267,14 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     if op.kell6 is not None:
         r2 = lambda v: v.reshape(rows2d, LANES)
         b2, lagc2 = r2(b), r2(op.lagc3)
-        sweep = lambda x2, x_lag: sor_sweep_tpu6(
-            op.kell6, op.kinvT_sg, x2, x_lag, b2, lagc2
-        )
+        if op.union7 is not None:
+            sweep = lambda x2, x_lag: sor_sweep_tpu7(
+                op.kell6, op.union7, op.kinvT_sg, x2, x_lag, b2, lagc2
+            )
+        else:
+            sweep = lambda x2, x_lag: sor_sweep_tpu6(
+                op.kell6, op.kinvT_sg, x2, x_lag, b2, lagc2
+            )
     else:
         b3 = b.reshape(op.dinv3.shape)
         sweep = lambda x2, x_lag: sor_sweep_tpu2(
