@@ -264,6 +264,7 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     kell = op.kell
     rows2d = kell.nrows_pad // LANES
     x2 = x.reshape(rows2d, LANES)
+    x_lag = jnp.asarray(x_lag, x.dtype)  # stable scan-carry dtype
     if op.kell6 is not None:
         r2 = lambda v: v.reshape(rows2d, LANES)
         b2, lagc2 = r2(b), r2(op.lagc3)
@@ -280,14 +281,20 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
         sweep = lambda x2, x_lag: sor_sweep_tpu2(
             kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
         )
-    for _ in range(iters):
-        x2 = sweep(x2, x_lag)
+    # scan (not a Python loop): the sweep body is traced/lowered ONCE per
+    # smooth call instead of `iters` times — measured 318s of lowering on
+    # the 38k flagship graph was dominated by repeated Pallas call traces
+    def body(carry, _):
+        x2, xl = carry
+        x2 = sweep(x2, xl)
         x = x2.reshape(-1)
         if op.has_lagrange:
-            x_lag = (1.0 - w) * x_lag + w * (b_lag - jnp.vdot(op.lag_row, x))
+            xl = (1.0 - w) * xl + w * (b_lag - jnp.vdot(op.lag_row, x))
         x = bound_eval_neumann(op, x, b)
-        x2 = x.reshape(rows2d, LANES)
-    return x, x_lag
+        return (x.reshape(rows2d, LANES), xl), None
+
+    (x2, x_lag), _ = jax.lax.scan(body, (x2, x_lag), None, length=iters)
+    return x2.reshape(-1), x_lag
 
 
 def push_inhomog_to_rhs(op: TpuLevel, b):
