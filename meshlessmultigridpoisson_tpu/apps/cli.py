@@ -186,6 +186,7 @@ def _solve_tpu(args):
             prob = _build_problem(args)
             k_dtype = jnp.bfloat16 if getattr(args, "fast_k", False) else None
             thier = tpu_hierarchy(prob.hierarchy, k_dtype=k_dtype)
+    print(f"setup: {t_setup.elapsed:.1f}s", file=sys.stderr, flush=True)
     dev = jax.devices()[0]
     thier = jax.device_put(thier, dev)
     op64 = to_device_tree(prob.hierarchy.levels[-1], device=dev)
@@ -207,11 +208,14 @@ def _solve_tpu(args):
     with Timer() as t_lower:
         lowered = mixed.solve_mixed.lower(op64, hd, x0, xl0, b, bl,
                                           tol=args.tol)
+    print(f"lower: {t_lower.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t_compile:
         compiled = lowered.compile()
+    print(f"compile: {t_compile.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t_first:
         res0 = compiled(op64, hd, x0, xl0, b, bl, tol=args.tol)[3]
         float(np.asarray(res0))
+    print(f"first run: {t_first.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t:
         x, xl, it, res = compiled(op64, hd, x0, xl0, b, bl, tol=args.tol)
         res_f = float(np.asarray(res))

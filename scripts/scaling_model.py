@@ -1,24 +1,30 @@
-"""Weak-scaling stand-in: virtual-mesh scaling curve + comm-bytes model.
+"""Weak-scaling stand-in: comm-bytes-per-cycle model + virtual-mesh curve
+(VERDICT r2 weak #8).
 
-BASELINE's >70%-weak-scaling-at-2-hosts target cannot be measured on a
-1-chip rig; this script bounds it two ways (VERDICT r2 weak #8):
+Single-chip rig, so two complementary measurements replace a real
+multi-host weak-scaling run:
 
-1. **Comm-bytes-per-cycle model** from the real partitioner output: for a
-   fixed-rows-per-shard problem at P = 1..8 shards, count the bytes each
-   V-cycle moves per shard — frontier ppermute slices (per phase, per
-   smoother sweep, per level), psum volumes (restriction partial products,
-   norms, Lagrange dots), all_gather prolongation — against the bytes of
-   local kernel work.  Comm/compute ratio + ICI/DCN bandwidths =>
-   predicted weak-scaling efficiency.
-2. **Virtual-mesh wall-clock curve** (CPU, fixed rows/shard, P in {1,2,4,8})
-   of the sharded cycle — NOT a hardware number (8 virtual devices
-   timeshare 2 cores), recorded only to show the sharded graph's comm ops
-   scale subcritically; the model in (1) is the quantitative claim.
+1. ANALYTIC comm volume per V-cycle, from the REAL partition metadata
+   (not a guess): frontier ppermutes (phases x hops x nf rows, per sweep
+   and per matvec, sharded.py:49-62,151-152,192), Lagrange/norm psums,
+   and the coarse-tail restriction psum + prolongation all_gather
+   (sharded.py:246,275,286).  Volumes scale linearly in nf and nc and are
+   INDEPENDENT of interior rows — the weak-scaling story.
+
+2. MEASURED per-cycle wall time on the virtual CPU mesh at fixed
+   rows/shard for P in {1,2,4,8} (XLA scan fallback; the 2-core host
+   oversubscribes, so the curve bounds SPMD overhead growth, not absolute
+   speed — absolute kernel speed comes from the real-chip bench).
+
+The model then projects 2-host efficiency at BASELINE's target: with
+Tcomp from the measured on-chip sweep throughput (bench_r3: 12.37 Gnnz/s)
+and Tcomm = bytes / BW + latency * n_collectives for ICI (intra-host) and
+DCN (host boundary), efficiency = Tcomp / (Tcomp + Tcomm_DCN_boundary).
 
 Writes results/scaling_model_r3.json.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-     PYTHONPATH=/root/repo:/root/.axon_site python scripts/scaling_model.py
+     PYTHONPATH=/root/repo python scripts/scaling_model.py
 """
 
 import json
@@ -26,131 +32,159 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+ROWS_PER_SHARD = int(os.environ.get("ROWS_PER_SHARD", 4096))
+CYCLES = int(os.environ.get("CYCLES", 8))
 
-def comm_model(shier, iters_per_level=None):
-    """Bytes per V-cycle per shard, split by collective, from the real
-    partition metadata (f64 vectors = 8 B/row as solved on CPU; the f32
-    kernel path halves vector bytes — both reported)."""
-    out = []
-    for li, f in enumerate(shier.sharded):
-        nf, ns, C = f.frontier_rows, f.shard_rows, f.phases
-        iters = f.iters if iters_per_level is None else iters_per_level
-        # per sweep: C frontier exchanges of 2*(C-1) nf-row slices (send+recv
-        # both directions per hop), plus one for bound_eval; per smooth call
-        # there are `iters` sweeps; pre+post smooth per cycle = 2 calls
-        # (coarsest sharded level smooths twice more, ignored -> lower bound)
-        exchanges_per_cycle = 2 * iters * (C + 1) + 2  # +residual/matvec
-        ppermute_rows = exchanges_per_cycle * 2 * (C - 1) * nf
-        # psums: Lagrange dot per sweep (scalar), norms (scalar), restriction
-        # partial product psum of the next-coarser FULL vector
-        psum_scalars = 2 * iters + 4
-        # table bytes per sweep on this shard (the local compute to hide)
-        if f.has_kernels:
-            tbl = (f.k6_vals.size * f.k6_vals.dtype.itemsize
-                   + f.k6_lcols.size * f.k6_lcols.dtype.itemsize) // f.num_shards
-        else:
-            tbl = (f.vals.size * f.vals.dtype.itemsize
-                   + f.lcols_ext.size * f.lcols_ext.dtype.itemsize
-                   ) // f.num_shards
-        compute_bytes = (2 * iters + 2) * tbl
-        row = dict(
-            level=li, shard_rows=ns, frontier_rows=nf, phases=C,
-            ppermute_rows_per_cycle=int(ppermute_rows),
-            ppermute_bytes_per_cycle_f32=int(ppermute_rows) * 4,
-            psum_scalars_per_cycle=int(psum_scalars),
-            local_table_bytes_per_cycle=int(compute_bytes),
-            comm_to_compute_byte_ratio=float(
-                ppermute_rows * 4 / max(compute_bytes, 1)),
-        )
-        out.append(row)
-    # inter-level transfers: psum of coarse source + all_gather of coarse x
-    for j, (rv, pv) in enumerate(zip(shier.inter_restrict_vals,
-                                     shier.inter_prolong_vals)):
-        nc = shier.sharded[j + 1].shard_rows * shier.sharded[j + 1].num_shards
-        out[j]["interlevel_psum_rows"] = int(nc)
-        out[j]["interlevel_allgather_rows"] = int(nc)
-    if len(shier.coarse.levels) > 0 and shier.sharded:
-        nc = shier.coarse.levels[-1].n
-        out[-1]["tail_psum_rows"] = int(nc)
-    return out
+# measured on-chip numbers (results/bench_r3_local.json) for the projection
+SWEEP_GNNZ_S = 12.37e9
+SPMV_GNNZ_S = 37.8e9
+# link bandwidths (bytes/s) and per-collective latency (s)
+ICI_BW = 45e9   # v5e per-direction per-link effective
+DCN_BW = 12.5e9  # 100 Gb/s host NIC effective
+LAT_ICI = 1e-6
+LAT_DCN = 10e-6
+
+
+def comm_model(f, nnz_fine, iters, nc_tail):
+    """Per-V-cycle comm volumes (bytes, counts) from partition metadata.
+
+    Per sweep: `phases` frontier exchanges (each = 2*hops ppermutes of
+    nf f32 rows) + 1 bound_eval exchange + (has_lagrange) 1 scalar psum.
+    Per cycle at the fine level: pre+post smooth (2*iters sweeps),
+    1 residual matvec exchange + 1 relative-residual psum pair,
+    restriction psum of the nc-row tail, all_gather of nc rows coming up.
+    """
+    nf, hops, phases = f.frontier_rows, f.phases - 1, f.phases
+    sweeps = 2 * iters
+    exch_per_sweep = phases + 1  # frontier phases + bound_eval
+    n_exchanges = sweeps * exch_per_sweep + 1  # + residual matvec
+    bytes_exchange = 2 * hops * nf * 4  # per shard, both directions
+    ppermute_bytes = n_exchanges * bytes_exchange
+    n_psum_scalar = sweeps + 3  # lagrange per sweep + resid num/den + lag
+    psum_tail_bytes = nc_tail * 4  # restriction partial-product all-reduce
+    allgather_bytes = nc_tail * 4  # coarse solution up
+    coll_count = n_exchanges * 2 * hops + n_psum_scalar + 2
+    total_bytes = ppermute_bytes + 2 * psum_tail_bytes + allgather_bytes
+    # compute per cycle per shard (dominant fine-level work)
+    nnz_shard = nnz_fine / f.num_shards
+    t_comp = sweeps * nnz_shard / SWEEP_GNNZ_S + 2 * nnz_shard / SPMV_GNNZ_S
+    return dict(
+        frontier_rows=nf, phases=phases,
+        exchanges_per_cycle=n_exchanges,
+        ppermute_bytes_per_cycle=int(ppermute_bytes),
+        psum_tail_bytes=int(2 * psum_tail_bytes),
+        allgather_bytes=int(allgather_bytes),
+        total_bytes_per_cycle=int(total_bytes),
+        collective_count=int(coll_count),
+        t_comp_per_cycle_s=t_comp,
+        t_comm_ici_s=total_bytes / ICI_BW + coll_count * LAT_ICI,
+        t_comm_dcn_s=total_bytes / DCN_BW + coll_count * LAT_DCN,
+    )
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    from meshlessmultigridpoisson_tpu.models.poisson import (
+        make_poisson_problem,
+    )
+    from meshlessmultigridpoisson_tpu.parallel.partition import (
+        partition_hierarchy, hierarchy_to_f32,
+    )
+    from meshlessmultigridpoisson_tpu.parallel import sharded as sh
     from jax.sharding import Mesh
 
-    jax.config.update("jax_enable_x64", True)
-    from meshlessmultigridpoisson_tpu.models.poisson import make_poisson_problem
-    from meshlessmultigridpoisson_tpu.parallel import (
-        partition_hierarchy,
-        make_sharded_vcycle,
-    )
-    from meshlessmultigridpoisson_tpu.parallel.sharded import (
-        AXIS, shard_vector,
-    )
-
-    # fixed rows/shard: the fine level grows with P (weak scaling); the
-    # problem is the standard square Neumann config
-    rows_per_shard = int(os.environ.get("ROWS_PER_SHARD", 16384))
-    result = dict(rows_per_shard=rows_per_shard, curve=[])
-    devs = jax.devices()
+    devs = np.array(jax.devices())
+    rows = []
     for P in (1, 2, 4, 8):
-        n_fine = rows_per_shard * P
-        sizes = [max(600, n_fine // 16), n_fine]
+        n_fine = ROWS_PER_SHARD * P
+        sizes = [max(n_fine // 16, 300), max(n_fine // 4, 900), n_fine]
+        t0 = time.time()
         prob = make_poisson_problem(
-            "square", sizes=sizes, poly_deg=4, k1=1, neumann=True)
-        shier = partition_hierarchy(prob.hierarchy, P)
-        mesh = Mesh(np.array(devs[:P]), (AXIS,))
-        cycle = make_sharded_vcycle(shier, mesh)
-        op = prob.hierarchy.finest
-        b_log = np.asarray(op.to_logical(prob.state0.b[-1]))
-        bf = shard_vector(shier, mesh, b_log)
-        xf, xl, bl = jnp.zeros_like(bf), jnp.zeros(()), jnp.zeros(())
-        xf, xl, r = cycle(xf, xl, bf, bl)  # compile + warm
-        jax.block_until_ready(xf)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            xf, xl, r = cycle(xf, xl, bf, bl)
-        jax.block_until_ready(xf)
-        dt = (time.perf_counter() - t0) / reps
-        model = comm_model(shier)
-        row = dict(
-            P=P, n_fine=int(op.n), cycle_s_virtual=dt,
-            resid=float(r), comm_model=model,
-        )
-        result["curve"].append(row)
-        print(f"P={P} n={op.n} cycle={dt*1e3:.1f} ms resid={float(r):.3e} "
-              f"frontier={model[0]['frontier_rows']}/{model[0]['shard_rows']} "
-              f"comm/compute={model[0]['comm_to_compute_byte_ratio']:.4f}",
-            file=sys.stderr, flush=True)
+            "square", sizes=sizes, poly_deg=4, k1=1, neumann=True,
+            ordering="kdtile")
+        setup_s = time.time() - t0
+        shier = hierarchy_to_f32(partition_hierarchy(prob.hierarchy, P))
+        f = shier.fine
+        op_fine = prob.hierarchy.levels[-1]
+        nnz_fine = int(np.count_nonzero(np.asarray(op_fine.A.vals)))
+        nc_tail = shier.coarse.levels[-1].n_pad if shier.coarse.levels else 0
 
-    # efficiency prediction at 2 hosts: the host seam adds ONE DCN crossing
-    # per frontier exchange; everything else rides ICI.
-    ICI_GB, DCN_GB, HBM_GB = 400.0, 25.0, 571.0  # v5e per-link ICI, per-host DCN, measured stream
-    f0 = result["curve"][-1]["comm_model"][0]
-    comm_s = f0["ppermute_bytes_per_cycle_f32"] / (ICI_GB * 1e9)
-    comm_dcn_s = f0["ppermute_bytes_per_cycle_f32"] / (DCN_GB * 1e9)
-    compute_s = f0["local_table_bytes_per_cycle"] / (HBM_GB * 1e9)
-    result["prediction"] = dict(
-        assumptions=dict(ici_gb_s=ICI_GB, dcn_gb_s=DCN_GB, hbm_gb_s=HBM_GB),
-        per_cycle_compute_s=compute_s,
-        per_cycle_comm_s_ici=comm_s,
-        per_cycle_comm_s_dcn_seam=comm_dcn_s,
-        weak_eff_ici_unoverlapped=compute_s / (compute_s + comm_s),
-        weak_eff_2host_seam_unoverlapped=compute_s / (compute_s + comm_dcn_s),
+        mesh = Mesh(devs[:P], (sh.AXIS,))
+        cycle = sh.make_sharded_vcycle(shier, mesh)
+        nfp = f.num_shards * f.shard_rows
+        bf = jnp.zeros(nfp, jnp.float32).at[: op_fine.n].set(
+            jnp.asarray(np.random.default_rng(0).standard_normal(op_fine.n),
+                        jnp.float32))
+        xf = jnp.zeros(nfp, jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
+        # warm-up (compile)
+        x1, xl1, res = cycle(xf, zero, bf, zero)
+        jax.block_until_ready(x1)
+        t0 = time.time()
+        x, xl = xf, zero
+        for _ in range(CYCLES):
+            x, xl, res = cycle(x, xl, bf, zero)
+        jax.block_until_ready(x)
+        per_cycle_s = (time.time() - t0) / CYCLES
+        model = comm_model(f, nnz_fine, op_fine.iters, nc_tail)
+        eff_ici = model["t_comp_per_cycle_s"] / (
+            model["t_comp_per_cycle_s"] + model["t_comm_ici_s"])
+        eff_dcn = model["t_comp_per_cycle_s"] / (
+            model["t_comp_per_cycle_s"] + model["t_comm_dcn_s"])
+        row = dict(
+            P=P, rows_per_shard=f.shard_rows, n_fine=op_fine.n,
+            nnz_fine=nnz_fine, setup_s=round(setup_s, 1),
+            measured_cpu_cycle_s=per_cycle_s,
+            final_residual=float(res),
+            model=model,
+            projected_eff_ici=round(eff_ici, 4),
+            projected_eff_dcn=round(eff_dcn, 4),
+        )
+        rows.append(row)
+        print(f"P={P} rows/shard={f.shard_rows} nf={f.frontier_rows} "
+              f"cycle={per_cycle_s*1e3:.1f}ms (cpu) "
+              f"bytes/cycle={model['total_bytes_per_cycle']/1e6:.2f}MB "
+              f"eff_ici={eff_ici:.3f} eff_dcn={eff_dcn:.3f}",
+              file=sys.stderr, flush=True)
+
+    # project BASELINE's 2-host target at production scale: 1M rows/shard
+    big = dict()
+    for rps in (131072, 524288, 1048576):
+        # frontier fraction from the measured partitions (nf ~ const blocks)
+        nf = max(r["model"]["frontier_rows"] for r in rows)
+        f_fake = type("F", (), dict(
+            frontier_rows=nf, phases=rows[-1]["model"]["phases"],
+            num_shards=2))()
+        m = comm_model(f_fake, rps * 2 * 70, 5, max(rps // 16, 2048))
+        big[str(rps)] = dict(
+            rows_per_shard=rps,
+            eff_2host_dcn=round(m["t_comp_per_cycle_s"] / (
+                m["t_comp_per_cycle_s"] + m["t_comm_dcn_s"]), 4),
+            model=m,
+        )
+        print(f"rows/shard={rps}: projected 2-host DCN efficiency "
+              f"{big[str(rps)]['eff_2host_dcn']:.3f}",
+              file=sys.stderr, flush=True)
+
+    out = dict(
+        rows_per_shard=ROWS_PER_SHARD, cycles=CYCLES,
+        assumptions=dict(
+            sweep_gnnz_s=SWEEP_GNNZ_S, spmv_gnnz_s=SPMV_GNNZ_S,
+            ici_bw=ICI_BW, dcn_bw=DCN_BW, lat_ici=LAT_ICI, lat_dcn=LAT_DCN),
+        curve=rows, projection_2host=big,
     )
-    print(json.dumps(result["prediction"], indent=1), file=sys.stderr)
-    with open("results/scaling_model_r3.json", "w") as f:
-        json.dump(result, f, indent=1)
+    with open("results/scaling_model_r3.json", "w") as fo:
+        json.dump(out, fo, indent=1)
     print("wrote results/scaling_model_r3.json")
 
 
