@@ -40,6 +40,11 @@ from meshlessmultigridpoisson_tpu.ops.kernels6 import (
     spmv_tpu6,
     union_sweep_tables,
 )
+from meshlessmultigridpoisson_tpu.ops.kernels8 import (
+    permute_b8,
+    prepare_colored_sweep,
+    sor_sweep_tpu8,
+)
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
 
@@ -50,6 +55,7 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
         "kell6",
         "kinvT_sg",
         "union7",
+        "colored8",
         "bound_kell",
         "bound_rows",
         "bound_diag",
@@ -82,6 +88,7 @@ class TpuLevel:
     kell6: object  # segment-ragged KernelEll6 (v6 spmv + sweep), or None
     kinvT_sg: object  # per-segment one-shot sweep matrices, or None
     union7: object  # UnionSweep tables (v7 exact sweep), or None
+    colored8: object  # ColoredSweep tables (v8 block-colored GS), or None
     bound_kell: KernelEll2  # Neumann rows, compact
     bound_rows: jnp.ndarray  # [mb_pad] i32 into padded rows
     bound_diag: jnp.ndarray  # [mb_pad] f32
@@ -129,9 +136,17 @@ def _rows3(kell, v: np.ndarray, dtype=np.float32) -> jnp.ndarray:
     )
 
 
+def _lagc2_np(op: LevelOperator, nb: int) -> np.ndarray:
+    """[nb, 128] f32 Lagrange-column rows (zero-padded to the block grid)."""
+    out = np.zeros(nb * LANES, np.float32)
+    lc = np.asarray(op.lag_col, np.float32)
+    out[: lc.shape[0]] = lc
+    return out.reshape(nb, LANES)
+
+
 def tpu_level_from_operator(
     op: LevelOperator, dtype=jnp.float32, use_v6: bool | None = None,
-    k_dtype=None,
+    k_dtype=None, sweep: str = "colored",
 ) -> TpuLevel:
     """Repack a CPU-built LevelOperator for TPU kernels (host-side).
 
@@ -148,35 +163,47 @@ def tpu_level_from_operator(
     so the smoother's FIXED POINT (K @ 0 = 0) is exactly unchanged — only
     the contraction rate moves at the bf16 rounding level, and outer f64
     defect correction (mg/mixed.py) owns the accuracy bar.
+
+    ``sweep``: "colored" (default) prepares the v8 block-colored GS sweep
+    (ops/kernels8.py) — exact GS under the colored block order, ~3x the
+    storage-order sweep's throughput (the round-3 latency wall); falls back
+    to the exact storage-order v7 sweep on layouts the coloring rejects
+    (tiny/dense levels).  "exact" forces storage-order v7/v6 — bit-parity
+    with the XLA oracle `_gs_sweep` for parity studies.
     """
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
     # v6 path needs 8-row classes in natural order (lane//8) and a
     # 128-row-aligned square operator; anything else falls back to v2.
-    kell6, kinvT_sg, union7 = None, None, None
+    kell6, kinvT_sg, union7, colored8 = None, None, None, None
     if use_v6 is None:
         use_v6 = op.class_size == 8
     if use_v6 and op.class_size == 8:
         try:
             kell6 = prepare_kernel_ell6(op.A, dtype=dtype)
-            kinvT_sg = pack_oneshot_K6(
-                kell6,
-                build_oneshot_K(
-                    op.A,
-                    op.omega * np.asarray(op.omega_scale),
-                    np.asarray(op.smooth_mask),
-                ),
-                k_dtype or dtype,
+            kinv_np = build_oneshot_K(
+                op.A,
+                op.omega * np.asarray(op.omega_scale),
+                np.asarray(op.smooth_mask),
             )
         except Ell4Unsupported:
-            kell6, kinvT_sg = None, None
+            kell6 = None
     if kell6 is not None:
-        try:
-            # v7 exact sweep (hoisted per-program x loads, bit-identical
-            # GS arithmetic); falls back to the per-block v6 sweep when a
-            # program's patch union exceeds the scratch bound
-            union7 = union_sweep_tables(kell6)
-        except Ell4Unsupported:
-            union7 = None
+        if sweep == "colored":
+            try:
+                colored8 = prepare_colored_sweep(
+                    kell6, kinv_np, _lagc2_np(op, kell6.nblocks),
+                    k_dtype=k_dtype or dtype)
+            except Ell4Unsupported:
+                colored8 = None
+        if colored8 is None:
+            # exact storage-order path: v7 union-scratch sweep (hoisted
+            # per-program x loads, bit-identical GS arithmetic), per-block
+            # v6 sweep when a program's union exceeds the scratch bound
+            kinvT_sg = pack_oneshot_K6(kell6, kinv_np, k_dtype or dtype)
+            try:
+                union7 = union_sweep_tables(kell6)
+            except Ell4Unsupported:
+                union7 = None
     bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
     ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
@@ -186,6 +213,7 @@ def tpu_level_from_operator(
         kell6=kell6,
         kinvT_sg=kinvT_sg,
         union7=union7,
+        colored8=colored8,
         bound_kell=bk,
         bound_rows=jnp.asarray(np.asarray(op.bound.rows)),
         bound_diag=f(op.bound.ell.diag),
@@ -217,11 +245,12 @@ def tpu_level_from_operator(
 
 def tpu_hierarchy(
     hier: Hierarchy, dtype=jnp.float32, use_v6: bool | None = None,
-    k_dtype=None,
+    k_dtype=None, sweep: str = "colored",
 ) -> Hierarchy:
     """Convert a CPU hierarchy to the TPU backend (transfer ops included)."""
     levels = tuple(
-        tpu_level_from_operator(op, dtype, use_v6=use_v6, k_dtype=k_dtype)
+        tpu_level_from_operator(op, dtype, use_v6=use_v6, k_dtype=k_dtype,
+                                sweep=sweep)
         for op in hier.levels
     )
     restrict = tuple(prepare_kernel_ell2(r, dtype=dtype) for r in hier.restrict)
@@ -268,7 +297,12 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     if op.kell6 is not None:
         r2 = lambda v: v.reshape(rows2d, LANES)
         b2, lagc2 = r2(b), r2(op.lagc3)
-        if op.union7 is not None:
+        if op.colored8 is not None:
+            b8 = permute_b8(op.colored8, b2)  # once per smooth, not per sweep
+            sweep = lambda x2, x_lag: sor_sweep_tpu8(
+                op.colored8, x2, x_lag, b8
+            )
+        elif op.union7 is not None:
             sweep = lambda x2, x_lag: sor_sweep_tpu7(
                 op.kell6, op.union7, op.kinvT_sg, x2, x_lag, b2, lagc2
             )

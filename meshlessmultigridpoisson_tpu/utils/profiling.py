@@ -76,8 +76,15 @@ def _streamed_bytes(op, sweep: bool) -> int:
     kell6 = getattr(op, "kell6", None)
     if kell6 is not None:
         b = kell6.table_bytes + vec
-        if sweep and getattr(op, "kinvT_sg", None) is not None:
-            b += 512 * n_pad
+        if sweep:
+            c8 = getattr(op, "colored8", None)
+            if c8 is not None:  # colored tables replace the v6 sweep stream
+                b = vec + int(
+                    c8.vals8.size * c8.vals8.dtype.itemsize
+                    + c8.lcols8.size * c8.lcols8.dtype.itemsize
+                    + c8.kinvT8.size * c8.kinvT8.dtype.itemsize)
+            elif getattr(op, "kinvT_sg", None) is not None:
+                b += 512 * n_pad
         return b
     try:
         slots = np.asarray(op.A.vals).size
