@@ -46,6 +46,7 @@ def test_tpu_uses_v6_kernels(prob):
     assert isinstance(t.lap32, KernelEll6)
 
 
+@pytest.mark.slow  # interpret-mode NS steps: ~55 min on the 2-core host
 def test_timestep_tpu_matches_cpu_oracle(prob):
     """3 steps from exact Kovasznay ICs: u, v, and fs_residual must track
     the CPU f64 path within the f32-kernel/mixed-precision budget."""

@@ -18,7 +18,7 @@ from meshlessmultigridpoisson_tpu.ops import kernels6 as K6
 from meshlessmultigridpoisson_tpu.ops import kernels8 as K8
 from meshlessmultigridpoisson_tpu.ops.kernels4 import build_oneshot_K
 
-pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes per case
+# whole module runs in ~20 s on the CPU mesh — stays in the default set
 
 
 @pytest.fixture(scope="module")
@@ -79,10 +79,10 @@ def test_program_slots_are_same_color_and_cover(kell, colored):
     c8, _, _ = colored
     pids = np.asarray(kell.pids).reshape(kell.nblocks, kell.gmax)
     colors = K8.color_blocks(pids, kell.nblocks)
-    blkid = np.asarray(c8.blkid).reshape(c8.nprog, c8.mb)
+    blkid = c8.block_order().reshape(c8.nprog, c8.mb)
     for p in range(c8.nprog):
         assert len(set(colors[blkid[p]])) == 1, f"program {p} mixes colors"
-    assert set(np.asarray(c8.blkid)) == set(range(kell.nblocks))
+    assert set(c8.block_order()) == set(range(kell.nblocks))
     # slot j holds block j's own x row
     pids8 = np.asarray(c8.pids8).reshape(c8.nprog, c8.g8max)
     np.testing.assert_array_equal(pids8[:, :c8.mb], blkid)
@@ -121,7 +121,29 @@ def test_sweep8_interpret_matches_colored_oracle(pattern, kell, colored):
         b8 = K8.permute_b8(c8, b2)
         out = np.asarray(K8.sor_sweep_tpu8(
             c8, x2, jnp.asarray(xl, jnp.float32), b8))
-    ref = _colored_oracle(ell, kinvT, np.asarray(c8.blkid), x2, xl, b2, lagc2)
+    ref = _colored_oracle(ell, kinvT, c8.block_order(), x2, xl, b2, lagc2)
+    np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_sweep8_mb4_matches_colored_oracle(pattern, kell):
+    """mb=4 programs (the production regime for 2D operators whose 8-block
+    unions overflow the scratch) with stride-8 row tables."""
+    ell = ell_from_csr(pattern, block_rows=128)
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    rng = np.random.default_rng(13)
+    nb = kell.nblocks
+    lagc2 = rng.standard_normal((nb, 128)).astype(np.float32) * 0.01
+    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=6.0, mb=4)
+    assert c8.mb == 4
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    xl = -0.21
+    with pltpu.force_tpu_interpret_mode():
+        b8 = K8.permute_b8(c8, b2)
+        out = np.asarray(K8.sor_sweep_tpu8(
+            c8, x2, jnp.asarray(xl, jnp.float32), b8))
+    ref = _colored_oracle(ell, kinvT, c8.block_order(), x2, xl, b2, lagc2)
     np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
 
 
@@ -145,8 +167,9 @@ def test_sweep8_fixed_point(pattern, kell):
 
 
 def test_degenerate_dense_falls_back():
-    """A fully coupled tiny operator (every block reads every patch) must
-    raise Ell4Unsupported so callers keep the exact v7 sweep."""
+    """A densely coupled operator must raise Ell4Unsupported when its
+    program unions overflow the scratch at a FORCED mb (callers keep the
+    exact v7 sweep); auto-mb may still fit by shrinking programs."""
     n = 4 * 128
     rng = np.random.default_rng(11)
     k = 12
@@ -164,4 +187,4 @@ def test_degenerate_dense_falls_back():
                             np.ones(ell.nrows_pad))
     with pytest.raises(K6.Ell4Unsupported):
         K8.prepare_colored_sweep(
-            kell, kinvT, np.zeros((kell.nblocks, 128), np.float32))
+            kell, kinvT, np.zeros((kell.nblocks, 128), np.float32), mb=8)

@@ -151,6 +151,7 @@ def test_two_sharded_levels_solution_parity(mesh, neumann):
     assert diff < 1e-6, f"2-level-sharded vs serial diff {diff:.2e}"
 
 
+@pytest.mark.slow  # interpret-mode / multi-process: minutes each
 def test_shard_kernel_tables_match_xla_per_shard(mesh):
     """Every shard's stacked v6 tables (incl. cross-shard window padding)
     reproduce the XLA gather matvec and the masked interior sweep —
@@ -203,6 +204,7 @@ def test_shard_kernel_tables_match_xla_per_shard(mesh):
         np.testing.assert_allclose(out_k, out_x, rtol=0, atol=3e-4 * scale)
 
 
+@pytest.mark.slow  # interpret-mode / multi-process: minutes each
 def test_sharded_kernel_cycle_single_shard(mesh):
     """Full kernel-dispatch V-cycle on a 1-shard mesh (the real-TPU
     single-chip configuration) vs the XLA sharded path, interpret mode."""
@@ -350,6 +352,7 @@ print("OK", pid, flush=True)
 """
 
 
+@pytest.mark.slow  # interpret-mode / multi-process: minutes each
 def test_init_distributed_two_process_smoke(tmp_path):
     """Real 2-process jax.distributed bring-up on CPU (the DCN path the
     virtual mesh can't exercise): both workers initialize against one
