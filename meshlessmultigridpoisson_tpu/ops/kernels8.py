@@ -104,17 +104,25 @@ def color_blocks(pids: np.ndarray, nb: int) -> np.ndarray:
 )
 @dataclasses.dataclass(frozen=True)
 class ColoredSweep:
-    """Colored program-order tables for the v8 sweep."""
+    """Colored program-order tables for the v8 sweep.
+
+    Row tables (``perm8``/``lagc8``, and ``permute_b8``'s output) are laid
+    out at a FIXED stride of 8 rows per program regardless of ``mb``:
+    Mosaic block specs need 8-row sublane alignment, and production 2D
+    operators (blocks read ~9-15 patches each) only fit the union-scratch
+    bound at mb = 4 or 2.  ``kinvT8``/``vals8``/``lcols8`` stay densely
+    packed (their block sublane dims are already aligned).
+    """
 
     vals8: jnp.ndarray   # [nprog * mb * T, 128] f32 (colored order)
     lcols8: jnp.ndarray  # [nprog * mb * T, 128] i16 (slot<<7 | lane)
     pids8: jnp.ndarray   # [nprog * g8max] i32 scratch-slot -> x-row map
-    blkid: jnp.ndarray   # [nprog * mb] i32 real block id per program slot
-    perm8: jnp.ndarray   # [nprog * mb, 128] i32
-    lagc8: jnp.ndarray   # [nprog * mb, 128] f32
+    blkid: jnp.ndarray   # [nprog * 8] i32 block id per slot (stride 8)
+    perm8: jnp.ndarray   # [nprog * 8, 128] i32 (stride 8)
+    lagc8: jnp.ndarray   # [nprog * 8, 128] f32 (stride 8)
     kinvT8: jnp.ndarray  # [nprog * mb, 128, 128] one-shot K^T
     g8max: int  # scratch slots per program (multiple of 8)
-    mb: int     # blocks per program
+    mb: int     # blocks per program (8, 4, or 2)
     nprog: int
     nb: int     # real 128-row blocks
     windows: int
@@ -131,38 +139,13 @@ class ColoredSweep:
         """Padded program slots per real block (duplicate-work factor)."""
         return self.nprog * self.mb / max(self.nb, 1)
 
+    def block_order(self) -> np.ndarray:
+        """The executed GS block order (host-side; stride-8 pad dropped)."""
+        return np.asarray(self.blkid).reshape(
+            self.nprog, 8)[:, : self.mb].ravel()
 
-def prepare_colored_sweep(
-    kell: KernelEll6,
-    kinvT: np.ndarray,
-    lagc2: np.ndarray,
-    k_dtype=jnp.float32,
-    max_slots: int = 64,
-    max_expand: float = 2.0,
-) -> ColoredSweep:
-    """Repack a SINGLE-segment v6 layout into colored program order.
 
-    ``kinvT``: [nb, 128, 128] f64 transposed one-shot matrices
-    (ops.kernels4.build_oneshot_K).  ``lagc2``: [nb, 128] Lagrange column.
-    Raises Ell4Unsupported when duplicate-padding expansion exceeds
-    ``max_expand`` or a program union exceeds ``max_slots`` (degenerate
-    tiny/dense levels); callers fall back to the exact v7 sweep.
-    """
-    if len(kell.segments) != 1:
-        raise Ell4Unsupported("colored sweep needs the single-segment layout")
-    sg = kell.segments[0]
-    nb = kell.nblocks
-    if nb < 2:
-        raise Ell4Unsupported("colored sweep is pointless on 1 block")
-    T = sg.tiles
-    pids = np.asarray(kell.pids).reshape(nb, kell.gmax)
-    colors = color_blocks(pids, nb)
-    ncolors = int(colors.max()) + 1
-
-    # mb is fixed at 8: Mosaic block specs want 8-row sublane alignment on
-    # the per-program row tables, so smaller programs would need stride
-    # padding; degenerate levels fall back to the exact v7 sweep instead
-    mb = MB
+def _color_chunks(colors: np.ndarray, ncolors: int, mb: int) -> np.ndarray:
     chunks = []
     for c in range(ncolors):
         blks = np.flatnonzero(colors == c)
@@ -170,28 +153,69 @@ def prepare_colored_sweep(
         if pad:
             blks = np.concatenate([blks, np.repeat(blks[-1], pad)])
         chunks.append(blks)
-    order = np.concatenate(chunks)
-    if order.size / nb > max_expand:
-        raise Ell4Unsupported(
-            f"colored sweep expansion {order.size / nb:.2f} > {max_expand} "
-            f"({ncolors} colors over {nb} blocks)"
-        )
-    nprog = order.size // mb
+    return np.concatenate(chunks)
 
-    # ---- per-program unions: slot j < mb is own block j ----------------------
-    progs = order.reshape(nprog, mb)
-    others = []
-    for p in range(nprog):
-        own = set(int(b) for b in progs[p])
-        u = np.unique(pids[progs[p]])
-        others.append(np.array(
-            [int(q) for q in u if int(q) not in own], dtype=np.int64))
-    max_others = max((o.size for o in others), default=0)
-    g8max = mb + _round_up(max(max_others, 1), 8)
-    g8max = _round_up(g8max, 8)  # banks of 8 for the two-stage gather
-    if g8max > max_slots:
+
+def prepare_colored_sweep(
+    kell: KernelEll6,
+    kinvT: np.ndarray,
+    lagc2: np.ndarray,
+    k_dtype=jnp.float32,
+    max_slots: int = 96,
+    max_expand: float = 2.0,
+    mb: int | None = None,
+    min_blocks: int = 32,
+) -> ColoredSweep:
+    """Repack a SINGLE-segment v6 layout into colored program order.
+
+    ``kinvT``: [nb, 128, 128] f64 transposed one-shot matrices
+    (ops.kernels4.build_oneshot_K).  ``lagc2``: [nb, 128] Lagrange column.
+    ``mb``: blocks per program — None (default) tries 8, 4, 2 and keeps
+    the first whose program unions fit ``max_slots`` and whose
+    duplicate-padding expansion stays under ``max_expand``; 2D production
+    operators (9-15 patches per block) typically land on mb=4.  Raises
+    Ell4Unsupported when no mb fits (degenerate tiny/dense levels);
+    callers fall back to the exact v7 sweep.
+    """
+    if len(kell.segments) != 1:
+        raise Ell4Unsupported("colored sweep needs the single-segment layout")
+    sg = kell.segments[0]
+    nb = kell.nblocks
+    if nb < min_blocks:
+        # measured on the production ladder (scripts/k8prod.py): at 20
+        # blocks the colored sweep is 0.85x v7 (expansion + per-program
+        # cost beat the short serial chain); the crossover is ~30 blocks
         raise Ell4Unsupported(
-            f"colored sweep needs {g8max} scratch slots > {max_slots}")
+            f"colored sweep loses below {min_blocks} blocks (nb={nb})")
+    T = sg.tiles
+    pids = np.asarray(kell.pids).reshape(nb, kell.gmax)
+    colors = color_blocks(pids, nb)
+    ncolors = int(colors.max()) + 1
+
+    last_err = None
+    for mb_try in ((MB, 4, 2) if mb is None else (mb,)):
+        order = _color_chunks(colors, ncolors, mb_try)
+        if order.size / nb > max_expand:
+            last_err = (f"expansion {order.size / nb:.2f} > {max_expand} "
+                        f"at mb={mb_try} ({ncolors} colors over {nb} blocks)")
+            continue
+        nprog = order.size // mb_try
+        progs = order.reshape(nprog, mb_try)
+        others = []
+        for p in range(nprog):
+            own = set(int(b) for b in progs[p])
+            u = np.unique(pids[progs[p]])
+            others.append(np.array(
+                [int(q) for q in u if int(q) not in own], dtype=np.int64))
+        max_others = max((o.size for o in others), default=0)
+        g8max = _round_up(mb_try + _round_up(max(max_others, 1), 8), 8)
+        if g8max > max_slots:
+            last_err = (f"{g8max} scratch slots > {max_slots} at mb={mb_try}")
+            continue
+        mb = mb_try
+        break
+    else:
+        raise Ell4Unsupported(f"colored sweep: {last_err}")
 
     pids8 = np.zeros((nprog, g8max), dtype=np.int64)
     P = kell.x_rows
@@ -230,8 +254,11 @@ def prepare_colored_sweep(
         lcols8[p0 * mb * T:p1 * mb * T] = (
             (slot.astype(np.int32) << 7) | lane).astype(np.int16)
 
-    perm8 = np.asarray(kell.perm)[order]
-    lagc8 = np.asarray(lagc2)[order]
+    # row tables at stride 8 (Mosaic sublane alignment; see class docstring)
+    order_s8 = np.zeros(nprog * 8, dtype=np.int64)
+    order_s8.reshape(nprog, 8)[:, :mb] = progs
+    perm8 = np.asarray(kell.perm)[order_s8]
+    lagc8 = np.asarray(lagc2)[order_s8]
     # chunked permute+cast of K (f64 source is ~1 GB at 1M rows)
     kv = np.asarray(kinvT)
     kinvT8 = np.empty((order.size, LANES, LANES),
@@ -245,7 +272,7 @@ def prepare_colored_sweep(
         vals8=jnp.asarray(vals8),
         lcols8=jnp.asarray(lcols8),
         pids8=jnp.asarray(pids8.reshape(-1).astype(np.int32)),
-        blkid=jnp.asarray(order.astype(np.int32)),
+        blkid=jnp.asarray(order_s8.astype(np.int32)),
         perm8=jnp.asarray(perm8.astype(np.int32)),
         lagc8=jnp.asarray(lagc8, sg.vals.dtype),
         kinvT8=jnp.asarray(kinvT8, k_dtype),
@@ -293,7 +320,7 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
                      preferred_element_type=jnp.float32,
                      precision=(lax.Precision.DEFAULT if fast
                                 else lax.Precision.HIGHEST))
-        bs = blkid_ref[i * mb + j]
+        bs = blkid_ref[i * 8 + j]  # row tables are stride-8 (see class doc)
         x_out_ref[pl.ds(bs, 1), :] = scratch[j:j + 1, :] + dx
 
 
@@ -326,13 +353,13 @@ def sor_sweep_tpu8(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((mb * t, LANES), prog_row),
             pl.BlockSpec((mb * t, LANES), prog_row),
-            pl.BlockSpec((mb, LANES), prog_row),
+            pl.BlockSpec((8, LANES), prog_row),  # stride-8 row tables
             pl.BlockSpec((mb, LANES, LANES),
                          lambda i, *_: (i, np.int32(0), np.int32(0))),
             pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((mb, LANES), prog_row),
-            pl.BlockSpec((mb, LANES), prog_row),
+            pl.BlockSpec((8, LANES), prog_row),
+            pl.BlockSpec((8, LANES), prog_row),
             rowspec_full,
         ],
         out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),

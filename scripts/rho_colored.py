@@ -127,8 +127,8 @@ def main():
         lagc2.reshape(-1)[: op.lag_col.shape[0]] = np.asarray(
             op.lag_col, np.float32)
         try:
-            c8 = k8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=3.0)
-            colored_order = np.asarray(c8.blkid)
+            c8 = k8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=3.0, min_blocks=2)
+            colored_order = c8.block_order()
             ncolors, expansion = c8.ncolors, c8.expansion
         except k6.Ell4Unsupported as e:
             print(f"{geom} n={n}: colored unsupported ({e})", flush=True)

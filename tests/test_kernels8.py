@@ -58,7 +58,7 @@ def colored(pattern, kell):
         (kell.nblocks, 128)).astype(np.float32) * 0.01
     # max_expand relaxed: the 11-block fixture pads heavily at mb=8 (the
     # guard is an efficiency bound for production sizes, not correctness)
-    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=4.0)
+    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=4.0, min_blocks=2)
     return c8, kinvT, lagc2
 
 
@@ -134,7 +134,7 @@ def test_sweep8_mb4_matches_colored_oracle(pattern, kell):
     rng = np.random.default_rng(13)
     nb = kell.nblocks
     lagc2 = rng.standard_normal((nb, 128)).astype(np.float32) * 0.01
-    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=6.0, mb=4)
+    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=6.0, mb=4, min_blocks=2)
     assert c8.mb == 4
     x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
     b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
@@ -154,7 +154,7 @@ def test_sweep8_fixed_point(pattern, kell):
     kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
                             np.ones(ell.nrows_pad))
     lagc2 = np.zeros((nb, 128), np.float32)
-    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=4.0)
+    c8 = K8.prepare_colored_sweep(kell, kinvT, lagc2, max_expand=4.0, min_blocks=2)
     xsol = rng.standard_normal(ell.nrows_pad)
     b = np.asarray(spmv(ell.astype(jnp.float64), jnp.asarray(xsol)))
     x2 = jnp.asarray(xsol.reshape(nb, 128), jnp.float32)
@@ -187,4 +187,4 @@ def test_degenerate_dense_falls_back():
                             np.ones(ell.nrows_pad))
     with pytest.raises(K6.Ell4Unsupported):
         K8.prepare_colored_sweep(
-            kell, kinvT, np.zeros((kell.nblocks, 128), np.float32), mb=8)
+            kell, kinvT, np.zeros((kell.nblocks, 128), np.float32), mb=8, min_blocks=2)
