@@ -62,6 +62,13 @@ def main(argv=None):
                     help="attach a per-level kernel profile (sweep/matvec "
                          "ms, nnz/s, modeled GB/s) and effective solve "
                          "throughput to the record")
+    ps.add_argument("--setup-cache", default=None, metavar="PATH",
+                    help="persist/reuse the full setup (hierarchy + RHS + "
+                         "exact solution) as an npz pytree: builds and "
+                         "saves on first use, loads on the next — the "
+                         "preprocess-once / solve-many workflow (setup at "
+                         "100k+ points costs minutes; loading costs "
+                         "seconds)")
     ps.add_argument("--sweep-order", default="colored",
                     choices=["colored", "exact"],
                     help="TPU smoother sweep order: colored (v8 block-"
@@ -164,11 +171,66 @@ def main(argv=None):
 def _build_problem(args):
     from meshlessmultigridpoisson_tpu.models.poisson import make_poisson_problem
 
-    return make_poisson_problem(
+    cache = getattr(args, "setup_cache", None)
+    if cache:
+        import os
+
+        if os.path.exists(cache):
+            return _load_setup(cache, args)
+    prob = make_poisson_problem(
         args.geom, sizes=list(args.sizes), poly_deg=args.deg, k1=args.k,
         neumann=args.neumann, seed=args.seed,
         msh_files=getattr(args, "msh", None),
         ordering=getattr(args, "ordering", "rcm"),
+    )
+    if cache:
+        _save_setup(cache, prob)
+        # return the ROUNDTRIPPED problem so first-use and cached runs are
+        # byte-identical (also validates the bundle it just wrote)
+        return _load_setup(cache, args)
+    return prob
+
+
+def _save_setup(path, prob):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meshlessmultigridpoisson_tpu.io.bundle import _save_pytree
+
+    _save_pytree(path, dict(
+        hierarchy=prob.hierarchy,
+        state0=prob.state0,
+        exact=jnp.asarray(np.asarray(prob.exact)),
+        fine_points=jnp.asarray(np.asarray(prob.clouds[-1].points)),
+        sizes=jnp.asarray(np.asarray([c.n for c in prob.clouds])),
+    ), compress=False)
+    print(f"setup cached to {path}", file=sys.stderr, flush=True)
+
+
+def _load_setup(path, args):
+    """Reconstruct the solve-facing slice of a PoissonProblem from a setup
+    bundle (hierarchy, RHS state, exact solution, finest points)."""
+    import types
+
+    import numpy as np
+
+    from meshlessmultigridpoisson_tpu.io.bundle import _load_pytree
+    from meshlessmultigridpoisson_tpu.models.poisson import PoissonProblem
+
+    d = _load_pytree(path)
+    sizes = np.asarray(d["sizes"]).tolist()
+    clouds = [types.SimpleNamespace(n=int(n)) for n in sizes]
+    clouds[-1].points = np.asarray(d["fine_points"])
+    print(f"setup loaded from {path}", file=sys.stderr, flush=True)
+    return PoissonProblem(
+        hierarchy=d["hierarchy"],
+        clouds=clouds,
+        state0=d["state0"],
+        exact=np.asarray(d["exact"]),
+        neumann=args.neumann,
+        geomtype=args.geom,
+        k1=args.k,
+        k2=args.k,
     )
 
 
@@ -213,21 +275,32 @@ def _solve_tpu(args):
     hd = mixed.defect_hierarchy(thier)
     x0 = jnp.zeros(op64.n_pad, jnp.float64)
     xl0 = jnp.zeros((), jnp.float64)
-    # AOT-split warm-up (lower / compile / first run timed separately),
-    # then time the solve alone
+    # AOT-split warm-up of the inner defect solve (the dominant program),
+    # then run the stepped mixed solve: outer f64 defect loop on the host,
+    # one jitted inner solve per pass (mixed.solve_mixed_stepped — the
+    # single fused solve_mixed graph destabilizes the tunneled worker at
+    # 150k points; the stepped form is also the one that reports per-pass
+    # progress)
+    from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
+    from meshlessmultigridpoisson_tpu.mg.vcycle import init_like
+
+    fine_i = len(hd.levels) - 1
+    st0 = init_like(hd).replace_level(fine_i, b=b.astype(jnp.float32))
     with Timer() as t_lower:
-        lowered = mixed.solve_mixed.lower(op64, hd, x0, xl0, b, bl,
-                                          tol=args.tol)
+        lowered = solve_bicgstab.lower(hd, st0, tol=1e-5, max_iters=60)
     print(f"lower: {t_lower.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t_compile:
-        compiled = lowered.compile()
+        lowered.compile()
     print(f"compile: {t_compile.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t_first:
-        res0 = compiled(op64, hd, x0, xl0, b, bl, tol=args.tol)[3]
-        float(np.asarray(res0))
+        # first stepped pass pays residual-program compiles + dispatch
+        mixed.solve_mixed_stepped(op64, hd, x0, xl0, b, bl, tol=args.tol,
+                                  max_outer=1)
     print(f"first run: {t_first.elapsed:.1f}s", file=sys.stderr, flush=True)
     with Timer() as t:
-        x, xl, it, res = compiled(op64, hd, x0, xl0, b, bl, tol=args.tol)
+        x, xl, it, res = mixed.solve_mixed_stepped(
+            op64, hd, x0, xl0, b, bl, tol=args.tol,
+            log=lambda m: print(m, file=sys.stderr, flush=True))
         res_f = float(np.asarray(res))
     rec.wall_time_s = t.elapsed
     rec.cycles = int(np.asarray(it))

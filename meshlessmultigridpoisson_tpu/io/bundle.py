@@ -20,11 +20,13 @@ import jax
 import numpy as np
 
 
-def _save_pytree(path: str, tree) -> None:
+def _save_pytree(path: str, tree, compress: bool = True) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"arr_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     arrays["__tree__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # compress=False: setup bundles at 100k+ points are a few hundred MB of
+    # f64 — zlib costs minutes on the 2-core host for ~2x size
+    (np.savez_compressed if compress else np.savez)(path, **arrays)
 
 
 def _load_pytree(path: str):

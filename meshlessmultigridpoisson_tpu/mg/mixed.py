@@ -148,3 +148,75 @@ def solve_mixed(
     if op64.bound.nrows > 0:
         x = sm.bound_eval_neumann(op64, x, b)
     return x, out["xl"], out["it"], out["res"]
+
+
+@partial(jax.jit, static_argnames=("matvec64",))
+def _residual64(op64, x, xl, b, bl, matvec64=None):
+    ax, axl = _full_matvec64(op64, x, xl, matvec64)
+    return b - ax, bl - axl
+
+
+def solve_mixed_stepped(
+    op64,
+    hier32_defect: Hierarchy,
+    x0,
+    xl0,
+    b,
+    bl,
+    tol=1e-10,
+    inner_tol=1e-5,
+    inner_iters: int = 60,
+    max_outer: int = 20,
+    matvec64=None,
+    matvec32=None,
+    log=None,
+):
+    """``solve_mixed`` with the outer defect loop on the HOST.
+
+    Identical math and stopping rule (tolerance / iteration cap /
+    stagnation at res >= 0.7 * res_prev); each outer pass dispatches one
+    jitted inner defect solve (mg/krylov.solve_bicgstab) plus one exact
+    f64 residual — a handful of host syncs per solve.
+
+    Two reasons to prefer it at scale: (a) per-outer-pass progress via
+    ``log`` (the while_loop form is a black box until convergence), and
+    (b) the device programs stay at the size of one inner solve — the
+    single fused solve_mixed graph at 150k points destabilizes the
+    tunneled v5e worker (see scripts/debug150k.py), while its constituent
+    programs run reliably.
+    """
+    fine_i = len(hier32_defect.levels) - 1
+    b = b.astype(jnp.float64)
+    bl = jnp.asarray(bl, jnp.float64)
+    b = jnp.where(op64.dirichlet_mask > 0, op64.dirichlet_values, b)
+    bnorm = float(jnp.sum(jnp.abs(b)) + jnp.abs(bl)) or 1.0
+
+    x = x0.astype(jnp.float64)
+    xl = jnp.asarray(xl0, jnp.float64)
+    r, rl = _residual64(op64, x, xl, b, bl, matvec64=matvec64)
+    res = float(jnp.sum(jnp.abs(r)) + jnp.abs(rl)) / bnorm
+    it, res_prev = 0, float("inf")
+    while res >= tol and it < max_outer and res < 0.7 * res_prev:
+        rn = float(jnp.sum(jnp.abs(r)) + jnp.abs(rl)) or 1.0
+        st = init_like(hier32_defect)
+        st = st.replace_level(
+            fine_i,
+            b=(r / rn).astype(jnp.float32),
+            b_lag=(rl / rn).astype(jnp.float32),
+        )
+        st, _, _ = solve_bicgstab(
+            hier32_defect, st, tol=inner_tol, max_iters=inner_iters,
+            matvec=matvec32,
+        )
+        x = x + st.x[fine_i].astype(jnp.float64) * rn
+        xl = xl + st.x_lag[fine_i].astype(jnp.float64) * rn
+        x = jnp.where(op64.dirichlet_mask > 0, op64.dirichlet_values, x)
+        r, rl = _residual64(op64, x, xl, b, bl, matvec64=matvec64)
+        res_prev = res
+        res = float(jnp.sum(jnp.abs(r)) + jnp.abs(rl)) / bnorm
+        it += 1
+        if log is not None:
+            log(f"outer {it}: rel residual {res:.3e}")
+    if op64.bound.nrows > 0:
+        x = sm.bound_eval_neumann(op64, x, b)
+    return x, xl, it, res

@@ -185,6 +185,15 @@ def main():
         inner_iters=5, max_outer=1)[3])
     mark("solve_mixed", lambda: mixed.solve_mixed(
         op64, hd, x0, jnp.zeros((), jnp.float64), b64, bl64, tol=1e-8)[3])
+
+    def aot():
+        lowered = mixed.solve_mixed.lower(
+            op64, hd, x0, jnp.zeros((), jnp.float64), b64, bl64, tol=1e-8)
+        compiled = lowered.compile()
+        return compiled(op64, hd, x0, jnp.zeros((), jnp.float64),
+                        b64, bl64, tol=1e-8)[3]
+
+    mark("solve_mixed AOT lower/compile/execute (the CLI path)", aot)
     print("ALL STEPS OK", flush=True)
 
 

@@ -78,7 +78,7 @@ def main():
     out8 = np.asarray(jax.jit(
         lambda xx, cc, bb: k8.sor_sweep_tpu8(cc, xx, zl, k8.permute_b8(cc, bb))
     )(x2, c8d, b2))
-    ref = _colored_oracle(ell, kinvT, np.asarray(c8.blkid), np.asarray(x2),
+    ref = _colored_oracle(ell, kinvT, c8.block_order(), np.asarray(x2),
                           0.0, np.asarray(b2), lagc2_np)
     err = np.abs(out8.reshape(-1) - ref).max() / np.abs(ref).max()
     bench.log(f"v8 on-device sweep vs colored oracle: rel err {err:.2e}")

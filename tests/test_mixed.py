@@ -58,6 +58,32 @@ def test_mixed_solve_reaches_1e10(neumann):
     assert abs(e_m - e_d) / e_d < 1e-3
 
 
+def test_stepped_matches_whileloop():
+    """solve_mixed_stepped (host outer loop, the large-scale production
+    path) reaches the same tolerance and solution as the fused while_loop
+    form on the same inputs."""
+    prob = make_poisson_problem(
+        "square", sizes=[600, 2500], poly_deg=4, k1=1, neumann=True
+    )
+    op64 = prob.hierarchy.levels[-1]
+    hd = defect_hierarchy(to_device_tree(prob.hierarchy, dtype=jnp.float32))
+    b = prob.state0.b[-1].astype(jnp.float64)
+    bl = prob.state0.b_lag[-1].astype(jnp.float64)
+    x0 = jnp.zeros(op64.n_pad, jnp.float64)
+    xl0 = jnp.zeros((), jnp.float64)
+    xw, _, itw, resw = solve_mixed(op64, hd, x0, xl0, b, bl, tol=1e-10)
+    from meshlessmultigridpoisson_tpu.mg.mixed import solve_mixed_stepped
+
+    xs, _, its, ress = solve_mixed_stepped(
+        op64, hd, x0, xl0, b, bl, tol=1e-10)
+    assert ress < 1e-10 and float(resw) < 1e-10
+    assert its == int(itw)
+    a = np.asarray(op64.to_logical(xs))
+    c = np.asarray(op64.to_logical(xw))
+    a, c = a - a.mean(), c - c.mean()  # Neumann gauge
+    assert np.abs(a - c).max() / max(np.abs(c).max(), 1e-30) < 1e-9
+
+
 def test_defect_hierarchy_zeroes_fine_pins():
     """The inner hierarchy solves for the ERROR: its fine Dirichlet pin
     values must be zero (the error at pinned rows is 0, not g), everything
