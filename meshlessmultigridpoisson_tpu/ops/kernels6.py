@@ -162,7 +162,7 @@ def prepare_kernel_ell6(
     ell: EllMatrix,
     max_segments: int = 1,
     dtype=jnp.float32,
-    max_patches: int = 64,
+    max_patches: int = 192,
 ) -> KernelEll6:
     """Host-side repack into the segment-ragged window layout.
 

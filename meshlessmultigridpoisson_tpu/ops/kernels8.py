@@ -165,6 +165,7 @@ def prepare_colored_sweep(
     max_expand: float = 2.0,
     mb: int | None = None,
     min_blocks: int = 32,
+    max_slots_wide: int = 384,
 ) -> ColoredSweep:
     """Repack a SINGLE-segment v6 layout into colored program order.
 
@@ -173,9 +174,18 @@ def prepare_colored_sweep(
     ``mb``: blocks per program — None (default) tries 8, 4, 2 and keeps
     the first whose program unions fit ``max_slots`` and whose
     duplicate-padding expansion stays under ``max_expand``; 2D production
-    operators (9-15 patches per block) typically land on mb=4.  Raises
-    Ell4Unsupported when no mb fits (degenerate tiny/dense levels);
-    callers fall back to the exact v7 sweep.
+    operators (9-15 patches per block) typically land on mb=4.
+
+    When nothing fits ``max_slots`` (wide-coupling fine levels: Neumann
+    condensation at 100k+ points puts ~80 patches on outlier blocks, so
+    program unions exceed 96 — the round-4 133k flagship), a second tier
+    allows up to ``max_slots_wide`` scratch slots and picks the mb with
+    the least modeled gather work (expansion * g8max * (T/64 + 1/mb)
+    scratch-row gathers per useful block).  Scratch VMEM stays tiny (384
+    slots = 192 KB) — the cost is the per-tile sublane-gather/select
+    chain, which scales with g8max banks and is what the model weighs.  Raises
+    Ell4Unsupported only when even the wide tier fails (degenerate dense
+    layouts); callers fall back to the exact v7/v6 sweeps.
     """
     if len(kell.segments) != 1:
         raise Ell4Unsupported("colored sweep needs the single-segment layout")
@@ -193,6 +203,7 @@ def prepare_colored_sweep(
     ncolors = int(colors.max()) + 1
 
     last_err = None
+    cands = {}  # mb -> (order, nprog, progs, others, g8max)
     for mb_try in ((MB, 4, 2) if mb is None else (mb,)):
         order = _color_chunks(colors, ncolors, mb_try)
         if order.size / nb > max_expand:
@@ -209,13 +220,27 @@ def prepare_colored_sweep(
                 [int(q) for q in u if int(q) not in own], dtype=np.int64))
         max_others = max((o.size for o in others), default=0)
         g8max = _round_up(mb_try + _round_up(max(max_others, 1), 8), 8)
+        cands[mb_try] = (order, nprog, progs, others, g8max)
         if g8max > max_slots:
             last_err = (f"{g8max} scratch slots > {max_slots} at mb={mb_try}")
             continue
         mb = mb_try
         break
     else:
-        raise Ell4Unsupported(f"colored sweep: {last_err}")
+        # wide tier: pick the fitting mb with least modeled gather work.
+        # Per useful block the kernel pays expansion * g8 * (T/64 + 1/mb)
+        # scratch-row gathers (T/8 tiles x g8/8 select banks, plus the g8
+        # scratch fill amortized over mb blocks) — g8 dominates, so the
+        # tightest-union mb (usually the smallest) wins here, the reverse
+        # of tier 1's preference.
+        wide = [(o.size / nb * g8 * (T / 64 + 1 / m), m)
+                for m, (o, _, _, _, g8) in cands.items()
+                if g8 <= max_slots_wide]
+        if not wide:
+            raise Ell4Unsupported(f"colored sweep: {last_err}")
+        mb = min(wide)[1]
+        order, nprog, progs, others, g8max = cands[mb]
+    del cands
 
     pids8 = np.zeros((nprog, g8max), dtype=np.int64)
     P = kell.x_rows
@@ -334,9 +359,13 @@ def sor_sweep_tpu8(
     c8: ColoredSweep,
     x2: jnp.ndarray,   # [nb, 128] storage order (updated in place)
     x_lag: jnp.ndarray,
-    b8: jnp.ndarray,   # [nprog * mb, 128] = permute_b8(c8, b2)
+    b8: jnp.ndarray,   # [nprog * 8, 128] = permute_b8(c8, b2): stride-8
+                       # row-table layout regardless of mb (see class doc)
 ) -> jnp.ndarray:
     """One exact (block, class)-GS sweep under the colored block order."""
+    assert b8.shape[0] == c8.nprog * 8, (
+        f"b8 must be the stride-8 permute_b8 layout [nprog*8, 128]; got "
+        f"{b8.shape} for nprog={c8.nprog}")
     dtype = c8.vals8.dtype
     t, mb, g8 = c8.tiles, c8.mb, c8.g8max
     lanesel = jnp.asarray(_lanesel())

@@ -166,6 +166,33 @@ def test_sweep8_fixed_point(pattern, kell):
     np.testing.assert_allclose(out, np.asarray(x2), rtol=0, atol=5e-4)
 
 
+def test_sweep8_wide_tier_matches_colored_oracle(pattern, kell):
+    """Tier-2 (wide-scratch) selection: when no mb fits ``max_slots``, the
+    prep picks the least-gather-work mb under ``max_slots_wide`` instead
+    of raising (the round-4 133k fine level needed 136 > 96 slots and
+    silently lost v8).  Forced here by shrinking max_slots below the
+    fixture's unions; the kernel itself must stay exact."""
+    ell = ell_from_csr(pattern, block_rows=128)
+    kinvT = build_oneshot_K(ell, np.full(ell.nrows_pad, 1.4),
+                            np.ones(ell.nrows_pad))
+    rng = np.random.default_rng(17)
+    nb = kell.nblocks
+    lagc2 = rng.standard_normal((nb, 128)).astype(np.float32) * 0.01
+    c8 = K8.prepare_colored_sweep(
+        kell, kinvT, lagc2, max_expand=6.0, min_blocks=2,
+        max_slots=8, max_slots_wide=96)
+    assert c8.g8max > 8  # proves tier 1 could not have produced this
+    x2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((nb, 128)), jnp.float32)
+    xl = 0.11
+    with pltpu.force_tpu_interpret_mode():
+        b8 = K8.permute_b8(c8, b2)
+        out = np.asarray(K8.sor_sweep_tpu8(
+            c8, x2, jnp.asarray(xl, jnp.float32), b8))
+    ref = _colored_oracle(ell, kinvT, c8.block_order(), x2, xl, b2, lagc2)
+    np.testing.assert_allclose(out.reshape(-1), ref, rtol=3e-4, atol=3e-4)
+
+
 def test_degenerate_dense_falls_back():
     """A densely coupled operator must raise Ell4Unsupported when its
     program unions overflow the scratch at a FORCED mb (callers keep the
