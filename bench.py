@@ -188,6 +188,26 @@ def main():
     stream_gb = stream_ceiling()
     log(f"pure-stream ceiling: {stream_gb:.0f} GB/s")
 
+    # --- independent XLA-stream calibration (VERDICT r4 next #6) -------------
+    # chain-delta a fused elementwise copy over the LARGEST actual kernel
+    # table (the v6 vals array): per iteration XLA streams the array in and
+    # out of HBM, so bytes are known exactly (2 x size) and the code path
+    # (XLA fusion, no Pallas, no byte model) is independent of everything
+    # else measured here.  This is the physics anchor the modeled kernel
+    # bandwidths are judged against.
+    try:
+        mem = dev.memory_stats()
+        hbm_gb = mem.get("bytes_limit", 0) / 1e9
+    except Exception:
+        hbm_gb = 0.0
+    vals_big = jax.device_put(kell.segments[0].vals, dev)
+    vb = vals_big.size * vals_big.dtype.itemsize
+    dt_xstream = chain_delta(lambda v: v * 1.0000001, vals_big, k=9)
+    xla_stream_gb = 2 * vb / dt_xstream / 1e9
+    del vals_big
+    log(f"xla elementwise stream ({vb/1e6:.0f} MB r+w): "
+        f"{xla_stream_gb:.0f} GB/s;  device HBM {hbm_gb:.1f} GB")
+
     # --- Pallas SpMV (with correctness spot check) ---
     y = np.asarray(jax.jit(lambda xx, kk: k6.spmv_tpu6(kk, xx))(xd, kd))[:4096]
     with on_cpu():
@@ -324,11 +344,19 @@ def main():
         f"{xla_nnz_s/1e9:.3f} Gnnz/s")
 
     sweep_nnz_s = nnz / dt_sweep
-    # roofline denominators (VERDICT r3 next #3): the CEILING is the max of
-    # the measured pure-stream kernel and every measured kernel bandwidth
-    # (a genuine upper bound on witnessed achievable rate, so every pct is
-    # <= 100 by construction); pct-of-HW-spec is reported alongside.
-    ceiling_gb = max(stream_gb, spmv_gb, sweep_gb, gb_fast)
+    # roofline denominator (VERDICT r4 next #6): the ceiling is the
+    # INDEPENDENTLY measured XLA elementwise-stream bandwidth on the same
+    # arrays — known-exact byte counts through a code path that shares
+    # nothing with the Pallas kernels or the byte model.  A modeled kernel
+    # bandwidth above it indicates byte-model or timing error and is
+    # flagged rather than max()-ed away (round 4's ceiling was the max
+    # over measured kernels, making 100% true by construction).
+    ceiling_gb = xla_stream_gb
+    if max(spmv_gb, sweep_gb) > 1.05 * ceiling_gb:
+        log(f"WARNING: modeled kernel bandwidth exceeds the measured "
+            f"XLA-stream ceiling by >5% "
+            f"(spmv {spmv_gb:.0f}, sweep {sweep_gb:.0f} vs {ceiling_gb:.0f}"
+            f" GB/s) — byte model or chain timing overstates")
     result = {
         "metric": "fused_sor_sweep_throughput_1M_k70",
         "value": round(sweep_nnz_s / 1e9, 3),
@@ -339,7 +367,10 @@ def main():
             "spmv_gb_s": round(spmv_gb, 1),
             "sweep_gb_s": round(sweep_gb, 1),
             "stream_kernel_gb_s": round(stream_gb, 1),
+            "xla_stream_gb_s": round(xla_stream_gb, 1),
             "ceiling_gb_s": round(ceiling_gb, 1),
+            "ceiling_source": "xla-elementwise-stream (independent calib)",
+            "hbm_gb": round(hbm_gb, 1),
             "hw_spec_gb_s": V5E_HBM_SPEC_GBS,
             "spmv_pct_of_ceiling": round(100 * spmv_gb / ceiling_gb, 1),
             "sweep_pct_of_ceiling": round(100 * sweep_gb / ceiling_gb, 1),

@@ -36,6 +36,13 @@ def _common(p):
                    help="row ordering: rcm (reference parity) or kdtile "
                         "(spatial 128-leaf tiles; much faster setup and "
                         "bounded kernel patch spread at 100k+ points)")
+    p.add_argument("--block-rows", type=int, default=256,
+                   help="smoother (block, class) assembly block size. With "
+                        "--ordering kdtile at 100k+ points use 512: compact "
+                        "kd blocks raise in-block coupling degree past what "
+                        "block/class_size classes can color conflict-free "
+                        "(256 -> 8k stale-pair conflicts at 151k; 512 -> "
+                        "~100), and conflicted rows cost smoother strength")
     p.add_argument("--out", default=None, help="write a JSON SolveRecord here")
     p.add_argument("--write-solution", default=None, metavar="DIR",
                    help="dump x/y/solution/exact/error txt files "
@@ -178,6 +185,7 @@ def _setup_build_config(args) -> dict:
         neumann=bool(args.neumann), seed=args.seed,
         msh=list(getattr(args, "msh", None) or []),
         ordering=getattr(args, "ordering", "rcm"),
+        block_rows=getattr(args, "block_rows", 256),
     )
 
 
@@ -199,6 +207,7 @@ def _build_problem(args):
         neumann=args.neumann, seed=args.seed,
         msh_files=getattr(args, "msh", None),
         ordering=getattr(args, "ordering", "rcm"),
+        block_rows=getattr(args, "block_rows", 256),
     )
     if cache:
         _save_setup(cache, prob, args)
@@ -305,7 +314,8 @@ def _solve_tpu(args):
                     platform="tpu", msh=getattr(args, "msh", None),
                     fast_k=bool(getattr(args, "fast_k", False)),
                     sweep_order=getattr(args, "sweep_order", "colored"),
-                    ordering=getattr(args, "ordering", "rcm")),
+                    ordering=getattr(args, "ordering", "rcm"),
+                    block_rows=getattr(args, "block_rows", 256)),
     )
     # always record which kernel family each level actually runs — a level
     # on the v2 fallback is a ~25x sweep regression that must be visible

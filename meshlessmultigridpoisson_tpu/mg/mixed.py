@@ -226,14 +226,15 @@ def solve_mixed_stepped(
                                     matvec64=matvec64)
         res_new = float(jnp.sum(jnp.abs(r_new)) + jnp.abs(rl_new)) / bnorm
         it += 1
-        if res_new < res:  # accept any improvement
+        accepted = res_new < res
+        if accepted:  # accept any improvement
             x, xl, r, rl = x_new, xl_new, r_new, rl_new
             res_prev, res = res, res_new
         else:
             res_prev = res  # reject the worsening update, keep (x, r)
         if log is not None:
-            log(f"outer {it}: rel residual {min(res_new, res):.3e}"
-                + ("" if res_new < res else "  (pass rejected)"))
+            log(f"outer {it}: rel residual {res:.3e}"
+                + ("" if accepted else "  (pass rejected)"))
         if res >= tol and res >= stall * res_prev:
             if escalations >= max_escalations:
                 break

@@ -40,10 +40,16 @@ def order_cloud(
     order with aligned 128-point spatial patches — what the patch-table TPU
     kernels want (N-independent gather cost).
     """
-    if method == "kd":
+    if method in ("kd", "kdtile"):
         from meshlessmultigridpoisson_tpu.geometry.ordering import kd_tile_ordering
 
         return cloud.permuted(kd_tile_ordering(cloud.points))
+    if method != "rcm":
+        # a silent fallthrough here cost round 4 its flagship: the CLI
+        # passes "kdtile", the old check compared against "kd", and every
+        # "kdtile" run was actually RCM-ordered — 2.7x the kernel-table
+        # bytes (676 vs 251 MB at 133k) and gmax 80 vs 16
+        raise ValueError(f"unknown ordering {method!r}; use rcm|kdtile")
     nb = knn(
         cloud.points, stencil_k, boundary_mask=cloud.boundary_mask, neumann=neumann
     )

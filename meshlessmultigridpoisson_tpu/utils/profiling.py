@@ -20,19 +20,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(op, x0, k: int = 16, reps: int = 5) -> float:
+def chain_time(op, x0, *sa, k: int = 16, reps: int = 5) -> float:
     """Median seconds per application of ``op`` via chained delta timing.
 
-    op(x) -> y with y feedable back as x.  Returns (T(k)-T(1))/(k-1).
+    op(x, *sa) -> y with y feedable back as x.  Returns (T(k)-T(1))/(k-1).
     The chain is a ``fori_loop`` (one compiled body regardless of k, so a
     long chain — needed to beat the multi-ms tunnel dispatch noise on
     small levels — costs no extra compile time).
+
+    Operand buffers (the operator tables) MUST be passed via ``*sa``, not
+    closed over: a closure constant is embedded in the serialized HLO, and
+    at flagship scale (676 MB of kernel tables) the tunnel's remote-
+    compile endpoint rejects the request body (HTTP 413).
     """
 
     def make(n):
-        def f(x):
+        def f(x, *s):
             def body(_, y):
-                return op(y) * 1.0000001  # dependency bump, defeats CSE
+                return op(y, *s) * 1.0000001  # dependency bump, defeats CSE
 
             y = jax.lax.fori_loop(0, n, body, x)
             return y.reshape(-1)[:128] * 1.0
@@ -40,14 +45,14 @@ def chain_time(op, x0, k: int = 16, reps: int = 5) -> float:
         return jax.jit(f)
 
     f1, fk = make(1), make(k)
-    np.asarray(f1(x0))
-    np.asarray(fk(x0))
+    np.asarray(f1(x0, *sa))
+    np.asarray(fk(x0, *sa))
 
     def t(f):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(f(x0))
+            np.asarray(f(x0, *sa))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -122,10 +127,11 @@ def profile_hierarchy(hier, reps: int = 5, k: int = 16) -> list[dict[str, Any]]:
         # chain long enough that k ops dwarf the multi-ms dispatch noise on
         # coarse levels (~2e7 row-updates per timed call), capped at 2048
         kl = int(max(k, min(2048, -(-2e7 // max(n_pad, 1)))))
-        t_mv = chain_time(lambda x: sm.matvec(op, x, zl)[0], x0, k=kl, reps=reps)
+        t_mv = chain_time(lambda x, lv: sm.matvec(lv, x, zl)[0], x0, op,
+                          k=kl, reps=reps)
         t_sw = chain_time(
-            lambda x: sm.smooth(op, x, zl, b, zl, iters=1)[0], x0, k=kl, reps=reps
-        )
+            lambda x, lv: sm.smooth(lv, x, zl, b, zl, iters=1)[0], x0, op,
+            k=kl, reps=reps)
         nnz = _level_nnz(op)
         row = dict(
             level=li,
