@@ -382,12 +382,15 @@ def _groupsel() -> np.ndarray:
 def _spmv6_kernel(pid_ref, vals_ref, lcols_ref, perm_ref, lanesel_ref,
                   groupsel_ref, x_ref, out_ref, scratch, *, t, w, base,
                   guard, nb, g):
+    # pid_ref is a per-program SMEM BLOCK (MB, g) of this program's own
+    # blocks' patch rows — whole-array scalar prefetch overflows the 1 MB
+    # SMEM at 1M rows x wide gmax (the 3D flagship compile failure).
+    # Padding blocks past nb read their zero-filled pids row (patch 0,
+    # always valid); their output rows are sliced off by the caller.
     i = pl.program_id(0)
     for j in range(MB):
-        bi = base + i * MB + j
-        bs = jnp.minimum(_i32(bi), _i32(nb - 1)) if guard else _i32(bi)
         for k in range(g):
-            scratch[k, :] = x_ref[pid_ref[bs * g + k], :]
+            scratch[k, :] = x_ref[pid_ref[0, j, k], :]
         prod = _gather_rows_banks(
             scratch[...],
             lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
@@ -410,32 +413,40 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
     x2 = xp.reshape(xr, LANES)
     lanesel = jnp.asarray(_lanesel())
     groupsel = jnp.asarray(_groupsel())
-    z2 = lambda i, pp: (np.int32(0),) * 2
+    z2 = lambda i, *_: (np.int32(0),) * 2
     nb_cov = max(sg.block_base + sg.nblocks for sg in kell.segments)
     perm_pad = kell.perm
+    pids2 = kell.pids.reshape(kell.nblocks, kell.gmax)
     if nb_cov > kell.nblocks:
         perm_pad = jnp.concatenate([
             kell.perm,
             jnp.zeros((nb_cov - kell.nblocks, LANES), kell.perm.dtype)], 0)
+        pids2 = jnp.concatenate([
+            pids2, jnp.zeros((nb_cov - kell.nblocks, kell.gmax),
+                             pids2.dtype)], 0)
+    pids3 = pids2.reshape(nb_cov // MB, MB, kell.gmax)
     outs = []
     for sg in kell.segments:
         t = sg.tiles
+        seg_row = functools.partial(
+            lambda b0, i, *_: (b0 + i, np.int32(0)), sg.block_base // MB)
+        seg_row3 = functools.partial(
+            lambda b0, i, *_: (b0 + i, np.int32(0), np.int32(0)),
+            sg.block_base // MB)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(sg.nblocks // MB,),
             in_specs=[
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
-                pl.BlockSpec(
-                    (MB, LANES),
-                    functools.partial(
-                        lambda b0, i, pp: (b0 + i, np.int32(0)),
-                        sg.block_base // MB)),
+                pl.BlockSpec((1, MB, kell.gmax), seg_row3,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((MB, LANES), seg_row),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((MB, LANES), lambda i, pp: (i, np.int32(0))),
+            out_specs=pl.BlockSpec((MB, LANES), lambda i, *_: (i, np.int32(0))),
             scratch_shapes=[pltpu.VMEM((kell.gmax, LANES), dtype)],
         )
         outs.append(pl.pallas_call(
@@ -445,7 +456,7 @@ def spmv_tpu6(kell: KernelEll6, x: jnp.ndarray) -> jnp.ndarray:
                               nb=kell.nblocks, g=kell.gmax),
             out_shape=jax.ShapeDtypeStruct((sg.nblocks, LANES), dtype),
             grid_spec=grid_spec,
-        )(kell.pids, sg.vals, sg.lcols, perm_pad, lanesel, groupsel, x2))
+        )(pids3, sg.vals, sg.lcols, perm_pad, lanesel, groupsel, x2))
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return y.reshape(-1)[: kell.nrows_pad]
 
@@ -470,8 +481,10 @@ def _sweep6_kernel(pid_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
         bi = base + i * MB + j
 
         def body(bs):
+            # pid_ref: per-program (MB, g) SMEM block, row j = block bi's
+            # patch list (guard skips padding blocks, so j is always real)
             for k in range(g):
-                scratch[k, :] = x_out_ref[pid_ref[bs * g + k], :]
+                scratch[k, :] = x_out_ref[pid_ref[0, j, k], :]
             prod = _gather_rows_banks(
                 scratch[...],
                 lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
@@ -516,7 +529,7 @@ def sor_sweep_tpu6(
     dtype = kell.segments[0].vals.dtype
     lanesel = jnp.asarray(_lanesel())
     groupsel = jnp.asarray(_groupsel())
-    z2 = lambda i, pp: (np.int32(0),) * 2
+    z2 = lambda i, *_: (np.int32(0),) * 2
     rowspec_full = pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM)
     xl = jnp.asarray([x_lag], dtype)
     nb = kell.nblocks
@@ -526,26 +539,35 @@ def sor_sweep_tpu6(
         if nb_cov == nb:
             return v
         return jnp.concatenate(
-            [v, jnp.zeros((nb_cov - nb, LANES), v.dtype)], 0)
+            [v, jnp.zeros((nb_cov - nb,) + v.shape[1:], v.dtype)], 0)
 
     perm_pad = pad_rows(kell.perm)
     b_pad = pad_rows(b2)
     lagc_pad = pad_rows(lagc2)
+    pids3 = pad_rows(kell.pids.reshape(nb, kell.gmax)).reshape(
+        nb_cov // MB, MB, kell.gmax)
     for si, sg in enumerate(kell.segments):
         t = sg.tiles
         seg_row = functools.partial(
-            lambda b0, i, pp: (b0 + i, np.int32(0)), sg.block_base // MB)
+            lambda b0, i, *_: (b0 + i, np.int32(0)), sg.block_base // MB)
+        seg_row3 = functools.partial(
+            lambda b0, i, *_: (b0 + i, np.int32(0), np.int32(0)),
+            sg.block_base // MB)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(sg.nblocks // MB,),
             in_specs=[
-                pl.BlockSpec((1,), lambda i, pp: (np.int32(0),),
+                # per-program SMEM block of this program's pids rows (a
+                # whole-array prefetch overflows SMEM at 1M x wide gmax)
+                pl.BlockSpec((1, MB, kell.gmax), seg_row3,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((1,), lambda i, *_: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
                 pl.BlockSpec((MB, LANES), seg_row),
                 pl.BlockSpec((MB, LANES, LANES),
-                             lambda i, pp: (i, np.int32(0), np.int32(0))),
+                             lambda i, *_: (i, np.int32(0), np.int32(0))),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((MB, LANES), seg_row),
@@ -567,7 +589,7 @@ def sor_sweep_tpu6(
             grid_spec=grid_spec,
             input_output_aliases={10: 0},
         )(
-            kell.pids, xl, sg.vals, sg.lcols, perm_pad,
+            pids3, xl, sg.vals, sg.lcols, perm_pad,
             kinvT_sg[si], lanesel, groupsel, b_pad, lagc_pad, x2,
         )
     return x2
@@ -746,9 +768,9 @@ def _sweep7_kernel(pid8_ref, xlag_ref, vals_ref, lcols_ref, perm_ref,
         def _():
             x_out_ref[...] = x_in_ref[...]
 
-    gbase = (base // MB + i) * g8
+    # pid8_ref: this program's (1, 1, g8) SMEM block of union slot -> x row
     for k in range(g8):
-        scratch[k, :] = x_out_ref[pid8_ref[gbase + k], :]
+        scratch[k, :] = x_out_ref[pid8_ref[0, 0, k], :]
 
     for j in range(MB):
         bi = base + i * MB + j
@@ -812,12 +834,13 @@ def sor_sweep_tpu7(
     dtype = kell.segments[0].vals.dtype
     lanesel = jnp.asarray(_lanesel())
     groupsel = jnp.asarray(_groupsel())
-    z2 = lambda i, pp: (np.int32(0),) * 2
+    z2 = lambda i, *_: (np.int32(0),) * 2
     rowspec_full = pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM)
     xl = jnp.asarray([x_lag], dtype)
     nb = kell.nblocks
     nb_cov = max(sg.block_base + sg.nblocks for sg in kell.segments)
     g8 = union.g8max
+    pids8_3 = union.pids8.reshape(-1, 1, g8)
 
     def pad_rows(v):
         if nb_cov == nb:
@@ -831,18 +854,24 @@ def sor_sweep_tpu7(
     for si, sg in enumerate(kell.segments):
         t = sg.tiles
         seg_row = functools.partial(
-            lambda b0, i, pp: (b0 + i, np.int32(0)), sg.block_base // MB)
+            lambda b0, i, *_: (b0 + i, np.int32(0)), sg.block_base // MB)
+        seg_row3 = functools.partial(
+            lambda b0, i, *_: (b0 + i, np.int32(0), np.int32(0)),
+            sg.block_base // MB)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(sg.nblocks // MB,),
             in_specs=[
-                pl.BlockSpec((1,), lambda i, pp: (np.int32(0),),
+                # this program's (1, 1, g8) union slot->row SMEM block
+                pl.BlockSpec((1, 1, g8), seg_row3,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
-                pl.BlockSpec((MB * t, LANES), lambda i, pp: (i, np.int32(0))),
+                pl.BlockSpec((1,), lambda i, *_: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((MB * t, LANES), lambda i, *_: (i, np.int32(0))),
                 pl.BlockSpec((MB, LANES), seg_row),
                 pl.BlockSpec((MB, LANES, LANES),
-                             lambda i, pp: (i, np.int32(0), np.int32(0))),
+                             lambda i, *_: (i, np.int32(0), np.int32(0))),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((MB, LANES), seg_row),
@@ -864,7 +893,7 @@ def sor_sweep_tpu7(
             grid_spec=grid_spec,
             input_output_aliases={10: 0},
         )(
-            union.pids8, xl, sg.vals, union.lcols8[si], perm_pad,
+            pids8_3, xl, sg.vals, union.lcols8[si], perm_pad,
             kinvT_sg[si], lanesel, groupsel, b_pad, lagc_pad, x2,
         )
     return x2

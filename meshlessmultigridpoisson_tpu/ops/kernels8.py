@@ -316,6 +316,10 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
                    perm_ref, kinvT_ref, lanesel_ref, groupsel_ref, b_ref,
                    lagc_ref, x_in_ref, x_out_ref, scratch, *, t, w, first,
                    fast, g8, mb):
+    # pid8_ref/blkid_ref are per-program SMEM BLOCKS ((1, g8) / (1, 8)),
+    # not whole-array scalar prefetch: at 1M rows x g8max 240 the flat
+    # pids8 is 4.2 MB, far past the 1 MB SMEM budget (the 3D flagship's
+    # AOT compile failed on exactly that allocation)
     i = pl.program_id(0)
     xlag = xlag_ref[0]
     if first:
@@ -323,9 +327,8 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
         def _():
             x_out_ref[...] = x_in_ref[...]
 
-    gbase = i * g8
     for k in range(g8):
-        scratch[k, :] = x_out_ref[pid8_ref[gbase + k], :]
+        scratch[k, :] = x_out_ref[pid8_ref[0, k], :]
 
     # mb independent blocks: no scratch writeback, no serial chain — the
     # colored order guarantees same-program blocks never read each other
@@ -345,7 +348,7 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
                      preferred_element_type=jnp.float32,
                      precision=(lax.Precision.DEFAULT if fast
                                 else lax.Precision.HIGHEST))
-        bs = blkid_ref[i * 8 + j]  # row tables are stride-8 (see class doc)
+        bs = blkid_ref[0, j]  # row tables are stride-8 (see class doc)
         x_out_ref[pl.ds(bs, 1), :] = scratch[j:j + 1, :] + dx
 
 
@@ -375,9 +378,13 @@ def sor_sweep_tpu8(
     xl = jnp.asarray([x_lag], dtype)
     prog_row = lambda i, *_: (i, np.int32(0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(c8.nprog,),
         in_specs=[
+            # per-program SMEM blocks of the slot->row and block-id maps
+            # (whole-array scalar prefetch overflows SMEM at 1M rows)
+            pl.BlockSpec((1, g8), prog_row, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), prog_row, memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i, *_: (np.int32(0),),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((mb * t, LANES), prog_row),
@@ -403,6 +410,7 @@ def sor_sweep_tpu8(
         grid_spec=grid_spec,
         input_output_aliases={11: 0},
     )(
-        c8.pids8, c8.blkid, xl, c8.vals8, c8.lcols8, c8.perm8,
+        c8.pids8.reshape(c8.nprog, g8), c8.blkid.reshape(c8.nprog, 8),
+        xl, c8.vals8, c8.lcols8, c8.perm8,
         c8.kinvT8, lanesel, groupsel, b8, c8.lagc8, x2,
     )

@@ -1,5 +1,6 @@
 """Weak-scaling stand-in: comm-bytes-per-cycle model + virtual-mesh curve
-(VERDICT r2 weak #8).
+(VERDICT r2 weak #8; redone for r4 next #5 with production-sized shards,
+round-5 measured kernel rates, and a CONVERGED sharded solve per point).
 
 Single-chip rig, so two complementary measurements replace a real
 multi-host weak-scaling run:
@@ -21,7 +22,7 @@ Tcomp from the measured on-chip sweep throughput (bench_r3: 12.37 Gnnz/s)
 and Tcomm = bytes / BW + latency * n_collectives for ICI (intra-host) and
 DCN (host boundary), efficiency = Tcomp / (Tcomp + Tcomm_DCN_boundary).
 
-Writes results/scaling_model_r3.json.
+Writes results/scaling_model_r5.json.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
      PYTHONPATH=/root/repo python scripts/scaling_model.py
@@ -40,12 +41,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
-ROWS_PER_SHARD = int(os.environ.get("ROWS_PER_SHARD", 4096))
+ROWS_PER_SHARD = int(os.environ.get("ROWS_PER_SHARD", 65536))
 CYCLES = int(os.environ.get("CYCLES", 8))
 
-# measured on-chip numbers (results/bench_r3_local.json) for the projection
-SWEEP_GNNZ_S = 12.37e9
-SPMV_GNNZ_S = 37.8e9
+# measured on-chip numbers for the projection: the round-5 flagship's
+# kd-512 production fine level (results/solve150k_r5.json per_level L3 —
+# REAL 151,805-point operator, not the synthetic bench), v8-colored sweep
+SWEEP_GNNZ_S = 7.2e9
+SPMV_GNNZ_S = 10.8e9
 # link bandwidths (bytes/s) and per-collective latency (s)
 ICI_BW = 45e9   # v5e per-direction per-link effective
 DCN_BW = 12.5e9  # 100 Gb/s host NIC effective
@@ -136,6 +139,13 @@ def main():
             x, xl, res = cycle(x, xl, bf, zero)
         jax.block_until_ready(x)
         per_cycle_s = (time.time() - t0) / CYCLES
+        # converged sharded solve (VERDICT r4: the r3 curve rows carried
+        # unconverged 8-cycle residuals)
+        solver = sh.make_sharded_bicgstab(shier, mesh)
+        t0 = time.time()
+        xs, xls, iters_s, res_s = solver(xf, zero, bf, zero, 1e-8)
+        jax.block_until_ready(xs)
+        solve_s = time.time() - t0
         model = comm_model(f, nnz_fine, op_fine.iters, nc_tail)
         eff_ici = model["t_comp_per_cycle_s"] / (
             model["t_comp_per_cycle_s"] + model["t_comm_ici_s"])
@@ -145,7 +155,9 @@ def main():
             P=P, rows_per_shard=f.shard_rows, n_fine=op_fine.n,
             nnz_fine=nnz_fine, setup_s=round(setup_s, 1),
             measured_cpu_cycle_s=per_cycle_s,
-            final_residual=float(res),
+            cycle_residual_8=float(res),
+            solve_iters=int(iters_s), solve_residual=float(res_s),
+            solve_cpu_s=round(solve_s, 2),
             model=model,
             projected_eff_ici=round(eff_ici, 4),
             projected_eff_dcn=round(eff_dcn, 4),
@@ -183,9 +195,9 @@ def main():
             ici_bw=ICI_BW, dcn_bw=DCN_BW, lat_ici=LAT_ICI, lat_dcn=LAT_DCN),
         curve=rows, projection_2host=big,
     )
-    with open("results/scaling_model_r3.json", "w") as fo:
+    with open("results/scaling_model_r5.json", "w") as fo:
         json.dump(out, fo, indent=1)
-    print("wrote results/scaling_model_r3.json")
+    print("wrote results/scaling_model_r5.json")
 
 
 if __name__ == "__main__":
