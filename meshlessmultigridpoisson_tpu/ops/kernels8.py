@@ -165,7 +165,7 @@ def prepare_colored_sweep(
     max_expand: float = 2.0,
     mb: int | None = None,
     min_blocks: int = 32,
-    max_slots_wide: int = 384,
+    max_slots_wide: int = 256,
 ) -> ColoredSweep:
     """Repack a SINGLE-segment v6 layout into colored program order.
 
@@ -181,12 +181,14 @@ def prepare_colored_sweep(
     program unions exceed 96 — the round-4 133k flagship), a second tier
     allows up to ``max_slots_wide`` scratch slots and picks the mb with
     the least modeled gather work (expansion * g8max * (T/64 + 1/mb)
-    scratch-row gathers per useful block).  Scratch VMEM stays tiny (384
-    slots = 192 KB) — the cost is the per-tile sublane-gather/select
-    chain, which scales with g8max banks and is what the model weighs.  Raises
+    scratch-row gathers per useful block).  The hard cap is 256: the i16
+    column packing (slot << 7 | lane) tops out at slot 255.  Scratch VMEM
+    stays tiny — the cost is the per-tile sublane-gather/select chain,
+    which scales with g8max banks and is what the model weighs.  Raises
     Ell4Unsupported only when even the wide tier fails (degenerate dense
     layouts); callers fall back to the exact v7/v6 sweeps.
     """
+    assert max_slots_wide <= 256, "i16 slot packing caps scratch at 256"
     if len(kell.segments) != 1:
         raise Ell4Unsupported("colored sweep needs the single-segment layout")
     sg = kell.segments[0]
@@ -328,7 +330,7 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
             x_out_ref[...] = x_in_ref[...]
 
     for k in range(g8):
-        scratch[k, :] = x_out_ref[pid8_ref[0, k], :]
+        scratch[k, :] = x_out_ref[pid8_ref[0, 0, k], :]
 
     # mb independent blocks: no scratch writeback, no serial chain — the
     # colored order guarantees same-program blocks never read each other
@@ -348,7 +350,7 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
                      preferred_element_type=jnp.float32,
                      precision=(lax.Precision.DEFAULT if fast
                                 else lax.Precision.HIGHEST))
-        bs = blkid_ref[0, j]  # row tables are stride-8 (see class doc)
+        bs = blkid_ref[0, 0, j]  # row tables are stride-8 (see class doc)
         x_out_ref[pl.ds(bs, 1), :] = scratch[j:j + 1, :] + dx
 
 
@@ -377,14 +379,16 @@ def sor_sweep_tpu8(
     rowspec_full = pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM)
     xl = jnp.asarray([x_lag], dtype)
     prog_row = lambda i, *_: (i, np.int32(0))
+    prog_row3 = lambda i, *_: (i, np.int32(0), np.int32(0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(c8.nprog,),
         in_specs=[
             # per-program SMEM blocks of the slot->row and block-id maps
-            # (whole-array scalar prefetch overflows SMEM at 1M rows)
-            pl.BlockSpec((1, g8), prog_row, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), prog_row, memory_space=pltpu.SMEM),
+            # (whole-array scalar prefetch overflows SMEM at 1M rows; the
+            # leading program axis satisfies Mosaic's last-two-dims rule)
+            pl.BlockSpec((1, 1, g8), prog_row3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), prog_row3, memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i, *_: (np.int32(0),),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((mb * t, LANES), prog_row),
@@ -410,7 +414,7 @@ def sor_sweep_tpu8(
         grid_spec=grid_spec,
         input_output_aliases={11: 0},
     )(
-        c8.pids8.reshape(c8.nprog, g8), c8.blkid.reshape(c8.nprog, 8),
+        c8.pids8.reshape(c8.nprog, 1, g8), c8.blkid.reshape(c8.nprog, 1, 8),
         xl, c8.vals8, c8.lcols8, c8.perm8,
         c8.kinvT8, lanesel, groupsel, b8, c8.lagc8, x2,
     )

@@ -447,7 +447,12 @@ def build_interp_operator(
     boundary exclusions (grid.cpp:687-712).  If row maps are given, rows and
     columns are placed in the levels' permuted padded row spaces.
     """
-    cfg = GridConfig(poly_deg=poly_deg, rbf_exp=rbf_exp)
+    # dim-aware stencil size: 3D deg-3 monomials have 20 terms, so the 2D
+    # k=25 stencil is barely unisolvent — one near-degenerate neighborhood
+    # in the 1M box3d ladder produced a NaN interpolation row that NaN'd
+    # every TPU V-cycle (round 5).  3D needs k = 2.5 * 20 = 50 here.
+    cfg = GridConfig(poly_deg=poly_deg, rbf_exp=rbf_exp,
+                     dim=int(base_cloud_points.shape[1]))
     k = cfg.stencil_size
     nb = knn_queries(base_cloud_points, target_points, k)
     with on_cpu():
@@ -461,6 +466,17 @@ def build_interp_operator(
                 rbf_exp=rbf_exp,
             )
         )
+    bad = ~np.isfinite(w).all(axis=1)
+    if bad.any():
+        # degenerate neighborhood (singular saddle): fall back to
+        # nearest-point injection for those rows rather than shipping
+        # NaN weights into every V-cycle
+        import warnings
+
+        warnings.warn(f"interp weights non-finite for {int(bad.sum())} "
+                      f"target points; using nearest-point injection there")
+        w[bad] = 0.0
+        w[bad, 0] = 1.0
     m = target_points.shape[0]
     nbase = base_cloud_points.shape[0]
     rows = np.repeat(np.arange(m), k)
