@@ -276,8 +276,19 @@ def tpu_hierarchy(
                                 sweep=sweep)
         for op in hier.levels
     )
-    restrict = tuple(prepare_kernel_ell2(r, dtype=dtype) for r in hier.restrict)
-    prolong = tuple(prepare_kernel_ell2(p, dtype=dtype) for p in hier.prolong)
+
+    def prep_transfer(ell):
+        # v6 segment-ragged layout when it fits — the v2 patch-table
+        # kernel's per-block select dots blow the 16 MB scoped-VMEM limit
+        # at 1M-row transfers (the 3D flagship restrict compile OOM); v2
+        # remains the fallback for layouts v6 rejects
+        try:
+            return prepare_kernel_ell6(ell, dtype=dtype)
+        except Ell4Unsupported:
+            return prepare_kernel_ell2(ell, dtype=dtype)
+
+    restrict = tuple(prep_transfer(r) for r in hier.restrict)
+    prolong = tuple(prep_transfer(p) for p in hier.prolong)
     return Hierarchy(levels=levels, restrict=restrict, prolong=prolong)
 
 

@@ -178,6 +178,10 @@ def spmv(ell, x: jnp.ndarray) -> jnp.ndarray:
         from meshlessmultigridpoisson_tpu.ops.kernels import spmv_tpu2
 
         return spmv_tpu2(ell, x)
+    if type(ell).__name__ == "KernelEll6":
+        from meshlessmultigridpoisson_tpu.ops.kernels6 import spmv_tpu6
+
+        return spmv_tpu6(ell, x)
     gc = global_cols(ell)
     return jnp.sum(ell.vals * jnp.take(x, gc, axis=0), axis=1)
 

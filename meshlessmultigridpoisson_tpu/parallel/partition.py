@@ -59,11 +59,14 @@ def _round_up(x: int, m: int) -> int:
         "bound_rows", "bound_vals", "bound_lcols_ext", "bound_diag",
         "cond_rows", "cond_vals", "cond_lcols_ext",
         "k6_vals", "k6_lcols", "k6_pids", "k6_perm", "k6_kinvT",
+        "k8_vals", "k8_lcols", "k8_pids", "k8_blkid", "k8_perm", "k8_lagc",
+        "k8_kinvT",
     ),
     meta_fields=(
         "n", "n_pad2", "num_shards", "shard_rows", "frontier_rows", "phases",
         "block_rows", "class_size", "width", "has_lagrange", "omega", "iters",
         "k6_windows", "k6_nblocks", "k6_gmax",
+        "k8_mb", "k8_g8max", "k8_nprog",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +122,19 @@ class ShardedFineLevel:
     k6_windows: int  # W (0 when kernel tables absent)
     k6_nblocks: int  # nbk = round_up(Ns/128, MB)
     k6_gmax: int = 16  # per-block patch capacity (uniform across shards)
+    # per-shard v8 colored-sweep tables (None when coloring was rejected
+    # on any shard; the interior sweep then stays on v6).  Uniform
+    # (mb, g8max, nprog) across shards; tail programs are zero-K no-ops.
+    k8_vals: jnp.ndarray | None = None   # [P, nprog*mb*T, 128] f32
+    k8_lcols: jnp.ndarray | None = None  # [P, nprog*mb*T, 128] i16
+    k8_pids: jnp.ndarray | None = None   # [P, nprog*g8max] i32
+    k8_blkid: jnp.ndarray | None = None  # [P, nprog*8] i32
+    k8_perm: jnp.ndarray | None = None   # [P, nprog*8, 128] i32
+    k8_lagc: jnp.ndarray | None = None   # [P, nprog*8, 128] f32
+    k8_kinvT: jnp.ndarray | None = None  # [P, nprog*mb, 128, 128] f32
+    k8_mb: int = 0
+    k8_g8max: int = 0
+    k8_nprog: int = 0
 
     @property
     def halo(self) -> int:  # ext rows beyond own (both sides)
@@ -156,7 +172,7 @@ def _compact_to_shards(rows, vals, gcols, diag, p, ns, newpos, ext_of):
 
 
 def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
-                         ext_rows):
+                         ext_rows, lagc=None):
     """Per-shard v6 kernel tables + interior-masked one-shot K, padded to
     uniform shapes across shards (see ShardedFineLevel docstring).
 
@@ -166,8 +182,14 @@ def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
     replaces (sharded._scan_tiles over [nft, ntiles)).
     Returns None if any shard's layout is unsupported (caller falls back
     to the XLA scan path).
+
+    When every shard's layout also admits the v8 block-colored sweep
+    (ops/kernels8.py) the dict additionally carries uniform k8_* tables
+    (common mb, padded g8max/nprog; tail programs are zero-K no-ops) so
+    the interior sweep runs colored on-device — VERDICT r4 next #5.
     """
     from meshlessmultigridpoisson_tpu.ops import kernels6 as K6
+    from meshlessmultigridpoisson_tpu.ops import kernels8 as K8
     from meshlessmultigridpoisson_tpu.ops.ell import ell_from_csr
     from meshlessmultigridpoisson_tpu.ops.kernels4 import (
         Ell4Unsupported,
@@ -205,7 +227,7 @@ def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
     nbk = kells[0].segments[0].nblocks
     kinv = [np.asarray(K6.pack_oneshot_K6(k, kk)[0])
             for k, kk in zip(kells, Ks)]
-    return dict(
+    out = dict(
         k6_vals=jnp.asarray(np.stack(
             [np.asarray(k.segments[0].vals) for k in kells])),
         k6_lcols=jnp.asarray(np.stack(
@@ -216,6 +238,69 @@ def _build_shard_kernels(vals, lcols_ext, omega_w, smooth_mask, p, ns, nf,
         k6_windows=W,
         k6_nblocks=nbk,
         k6_gmax=int(G),
+    )
+    out.update(_build_shard_colored(kells, Ks, lagc, p, ns) or {})
+    return out
+
+
+def _build_shard_colored(kells, Ks, lagc, p, ns):
+    """Uniform per-shard v8 colored tables, or None if any shard rejects.
+
+    Uniformity contract (shard_map needs one program): common ``mb`` (the
+    smallest any shard selects — unions shrink with mb, so it fits all),
+    ``g8max``/``nprog`` padded to the max.  Padding programs are no-ops:
+    all slots point at block 0, K is zero, so they rewrite x[0] with its
+    own snapshot value.
+    """
+    from meshlessmultigridpoisson_tpu.ops import kernels8 as K8
+    from meshlessmultigridpoisson_tpu.ops.kernels4 import Ell4Unsupported
+
+    if lagc is None:
+        return None
+    nb = ns // 128
+    try:
+        c8s = [K8.prepare_colored_sweep(
+            k, kk, np.asarray(lagc[s], np.float32).reshape(nb, 128))
+            for s, (k, kk) in enumerate(zip(kells, Ks))]
+        mb = min(c.mb for c in c8s)
+        if any(c.mb != mb for c in c8s):
+            c8s = [K8.prepare_colored_sweep(
+                k, kk, np.asarray(lagc[s], np.float32).reshape(nb, 128),
+                mb=mb)
+                for s, (k, kk) in enumerate(zip(kells, Ks))]
+    except Ell4Unsupported:
+        return None
+    g8 = max(c.g8max for c in c8s)
+    npr = max(c.nprog for c in c8s)
+    T = c8s[0].tiles
+
+    def pad_c8(c):
+        pids = np.asarray(c.pids8).reshape(c.nprog, c.g8max)
+        pids_u = np.zeros((npr, g8), np.int32)
+        pids_u[: c.nprog, : c.g8max] = pids
+        # padding slots/programs read block 0 (always resident)
+        blk = np.zeros((npr, 8), np.int32)
+        blk[: c.nprog] = np.asarray(c.blkid).reshape(c.nprog, 8)
+        vals = np.zeros((npr * mb * T, 128), np.float32)
+        vals[: c.nprog * mb * T] = np.asarray(c.vals8)
+        lcols = np.zeros((npr * mb * T, 128), np.int16)
+        lcols[: c.nprog * mb * T] = np.asarray(c.lcols8)
+        perm = np.zeros((npr * 8, 128), np.int32)
+        perm[: c.nprog * 8] = np.asarray(c.perm8)
+        perm[c.nprog * 8:] = np.arange(128, dtype=np.int32)[None, :]
+        lag = np.zeros((npr * 8, 128), np.float32)
+        lag[: c.nprog * 8] = np.asarray(c.lagc8)
+        kin = np.zeros((npr * mb, 128, 128), np.float32)
+        kin[: c.nprog * mb] = np.asarray(c.kinvT8)
+        return pids_u, blk, vals, lcols, perm, lag, kin
+
+    parts = [pad_c8(c) for c in c8s]
+    stack = lambda i: jnp.asarray(np.stack([pp[i] for pp in parts]))
+    return dict(
+        k8_pids=stack(0).reshape(p, -1), k8_blkid=stack(1).reshape(p, -1),
+        k8_vals=stack(2), k8_lcols=stack(3), k8_perm=stack(4),
+        k8_lagc=stack(5), k8_kinvT=stack(6),
+        k8_mb=int(mb), k8_g8max=int(g8), k8_nprog=int(npr),
     )
 
 
@@ -349,8 +434,10 @@ def partition_fine_level(
         lcols_s = lcols_ext.reshape(p, ns, w)
         ow_s = omega_w.reshape(p, ns)
         sm_s = pad_rows(op.smooth_mask).reshape(p, ns)
+        lagc_s = pad_rows(op.lag_col).reshape(p, ns)
         k6 = _build_shard_kernels(
-            vals_s, lcols_s, ow_s, sm_s, p, ns, nf, ns + 2 * hops * nf
+            vals_s, lcols_s, ow_s, sm_s, p, ns, nf, ns + 2 * hops * nf,
+            lagc=lagc_s,
         )
 
     level = ShardedFineLevel(
@@ -380,6 +467,16 @@ def partition_fine_level(
         k6_windows=k6["k6_windows"] if k6 else 0,
         k6_nblocks=k6["k6_nblocks"] if k6 else 0,
         k6_gmax=k6["k6_gmax"] if k6 else 16,
+        k8_vals=(k6 or {}).get("k8_vals"),
+        k8_lcols=(k6 or {}).get("k8_lcols"),
+        k8_pids=(k6 or {}).get("k8_pids"),
+        k8_blkid=(k6 or {}).get("k8_blkid"),
+        k8_perm=(k6 or {}).get("k8_perm"),
+        k8_lagc=(k6 or {}).get("k8_lagc"),
+        k8_kinvT=(k6 or {}).get("k8_kinvT"),
+        k8_mb=(k6 or {}).get("k8_mb", 0),
+        k8_g8max=(k6 or {}).get("k8_g8max", 0),
+        k8_nprog=(k6 or {}).get("k8_nprog", 0),
         n=op.n,
         n_pad2=n_pad2,
         num_shards=p,

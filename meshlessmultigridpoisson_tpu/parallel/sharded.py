@@ -117,25 +117,51 @@ def _kell_of(f: ShardedFineLevel):
     )
 
 
+def _c8_of(f: ShardedFineLevel):
+    """Reassemble the shard-local ColoredSweep from the stacked leaves."""
+    from meshlessmultigridpoisson_tpu.ops import kernels8 as K8
+
+    return K8.ColoredSweep(
+        vals8=f.k8_vals, lcols8=f.k8_lcols, pids8=f.k8_pids,
+        blkid=f.k8_blkid, perm8=f.k8_perm, lagc8=f.k8_lagc,
+        kinvT8=f.k8_kinvT,
+        g8max=f.k8_g8max, mb=f.k8_mb, nprog=f.k8_nprog,
+        nb=f.shard_rows // 128, windows=f.k6_windows, ncolors=0,
+        nrows=f.shard_rows, nrows_pad=f.shard_rows,
+    )
+
+
 def _interior_sweep_kernel(f: ShardedFineLevel, x, x_lag, b):
-    """Communication-free interior pass on the v6 Pallas kernel.
+    """Communication-free interior pass on the v8/v6 Pallas kernels.
 
     The one-shot K was built with frontier rows masked out (constants), so
     sweeping every own block moves only interior rows — identical
     semantics to the tile scan over [nft, ntiles).  Halo slots are fed
-    zeros: only masked (frontier) rows reference them.
+    zeros: only masked (frontier) rows reference them.  When the
+    partitioner built uniform colored tables the sweep runs v8 (exact GS
+    under the colored block order — same deviation class as the
+    single-chip production sweep); otherwise the storage-order v6.
     """
     from meshlessmultigridpoisson_tpu.ops.kernels6 import sor_sweep_tpu6
+    from meshlessmultigridpoisson_tpu.ops.kernels8 import (
+        permute_b8,
+        sor_sweep_tpu8,
+    )
 
     ns = f.shard_rows
     nb = ns // 128
     xp = jnp.zeros(_ext_pad_rows(f), x.dtype).at[:ns].set(x)
     x2 = xp.reshape(-1, 128)
-    out = sor_sweep_tpu6(
-        _kell_of(f), (f.k6_kinvT,), x2,
-        x_lag.astype(x.dtype) if hasattr(x_lag, "astype") else x_lag,
-        b.reshape(nb, 128), f.lag_col.reshape(nb, 128),
-    )
+    xl = x_lag.astype(x.dtype) if hasattr(x_lag, "astype") else x_lag
+    if f.k8_vals is not None:
+        c8 = _c8_of(f)
+        b8 = permute_b8(c8, b.reshape(nb, 128))
+        out = sor_sweep_tpu8(c8, x2, xl, b8)
+    else:
+        out = sor_sweep_tpu6(
+            _kell_of(f), (f.k6_kinvT,), x2,
+            xl, b.reshape(nb, 128), f.lag_col.reshape(nb, 128),
+        )
     return out.reshape(-1)[:ns]
 
 

@@ -46,7 +46,7 @@ def main():
     from meshlessmultigridpoisson_tpu.mg.tpu_backend import tpu_hierarchy
     from meshlessmultigridpoisson_tpu.mg.vcycle import init_like, v_cycle
     from meshlessmultigridpoisson_tpu.ops import smoothers as sm
-    from meshlessmultigridpoisson_tpu.ops.kernels import spmv_tpu2
+    from meshlessmultigridpoisson_tpu.ops.ell import spmv as ell_spmv
     from meshlessmultigridpoisson_tpu.utils.jaxutils import on_cpu, to_device_tree
 
     with on_cpu():
@@ -90,10 +90,10 @@ def main():
         klr = int(max(16, min(2048, -(-2e7 // max(fine.n_pad, 1)))))
         t_r = bench.chain_delta(
             lambda x, rr: jnp.zeros(fine.n_pad, jnp.float32)
-            .at[:coarse.n_pad].set(spmv_tpu2(rr, x)[:coarse.n_pad]),
+            .at[:coarse.n_pad].set(ell_spmv(rr, x)[:coarse.n_pad]),
             xf, R, k=klr)
         t_p = bench.chain_delta(
-            lambda x, pm: spmv_tpu2(pm, x[:coarse.n_pad])[:fine.n_pad] * 1.0
+            lambda x, pm: ell_spmv(pm, x[:coarse.n_pad])[:fine.n_pad] * 1.0
             + x * 0.0, xf, Pm, k=klr)
         transfers.append(dict(
             i=i, restrict_ms=t_r * 1e3, prolong_ms=t_p * 1e3))

@@ -396,3 +396,45 @@ def test_init_distributed_two_process_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"OK {i}" in out, out
+
+
+def test_shard_v8_colored_tables_fixed_point(mesh):
+    """Round-5: the partitioner also builds uniform per-shard v8 colored
+    tables when every shard admits them (>= 32 blocks/shard).  Validate
+    the interior colored sweep's FIXED POINT per shard in interpret mode:
+    with b = A x_ext (halo zeros) one sweep must return x unchanged —
+    dx = K r = 0 iff r = 0, masked frontier rows never move.  Colored-
+    order exactness itself is oracle-tested in tests/test_kernels8.py."""
+    from jax.experimental.pallas import tpu as pltpu
+    from meshlessmultigridpoisson_tpu.ops.kernels8 import (
+        permute_b8,
+        sor_sweep_tpu8,
+    )
+    from meshlessmultigridpoisson_tpu.parallel import sharded as sh
+    from meshlessmultigridpoisson_tpu.parallel.partition import hierarchy_to_f32
+
+    prob = make_poisson_problem(
+        "square", sizes=[2500, 10000], poly_deg=3, k1=1, neumann=True,
+        ordering="kdtile",
+    )
+    shier = hierarchy_to_f32(partition_hierarchy(prob.hierarchy, 2, kernels=True))
+    f = shier.fine
+    assert f.has_kernels
+    assert f.k8_vals is not None, "v8 shard tables failed to build"
+    rng = np.random.default_rng(0)
+    ns, nb = f.shard_rows, f.shard_rows // 128
+    ext_pad = -(-f.ext_rows // 128) * 128
+    for s in range(f.num_shards):
+        fs = jax.tree_util.tree_map(lambda a: a[s], f)
+        c8 = sh._c8_of(fs)
+        x_ext = np.zeros(ext_pad, np.float32)
+        x_ext[:ns] = rng.standard_normal(ns).astype(np.float32)
+        b = np.sum(np.asarray(fs.vals, np.float32)
+                   * x_ext[np.asarray(fs.lcols_ext)], axis=-1)
+        with pltpu.force_tpu_interpret_mode():
+            b8 = permute_b8(c8, jnp.asarray(b.reshape(nb, 128)))
+            out = np.asarray(sor_sweep_tpu8(
+                c8, jnp.asarray(x_ext.reshape(-1, 128)),
+                jnp.zeros((), jnp.float32), b8))
+        np.testing.assert_allclose(
+            out.reshape(-1)[:ns], x_ext[:ns], rtol=0, atol=2e-3)
