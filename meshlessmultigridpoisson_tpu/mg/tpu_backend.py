@@ -45,6 +45,7 @@ from meshlessmultigridpoisson_tpu.ops.kernels8 import (
     permute_b8,
     prepare_colored_sweep,
     sor_sweep_tpu8,
+    spmv_tpu8,
 )
 from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
 
@@ -78,7 +79,7 @@ from meshlessmultigridpoisson_tpu.stencil.operators import LevelOperator
     ),
     meta_fields=(
         "has_lagrange", "implicit", "omega", "iters", "class_size", "n",
-        "bound_n", "cond_n",
+        "bound_n", "cond_n", "nnz", "n_pad_",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -116,10 +117,12 @@ class TpuLevel:
     n: int
     bound_n: int
     cond_n: int
+    nnz: int = 0
+    n_pad_: int = 0
 
     @property
     def n_pad(self) -> int:
-        return self.kell.nrows_pad
+        return self.n_pad_
 
     @property
     def kernel_kind(self) -> str:
@@ -188,6 +191,8 @@ def tpu_level_from_operator(
     with the XLA oracle `_gs_sweep` for parity studies.
     """
     kell = prepare_kernel_ell2(op.A, class_size=op.class_size, dtype=dtype)
+    n_pad_ = kell.nrows_pad
+    nnz = int(np.count_nonzero(np.asarray(op.A.vals)))
     # v6 path needs 8-row classes in natural order (lane//8) and a
     # 128-row-aligned square operator; anything else falls back to v2.
     kell6, kinvT_sg, union7, colored8 = None, None, None, None
@@ -227,10 +232,18 @@ def tpu_level_from_operator(
                 union7 = union_sweep_tables(kell6)
             except Ell4Unsupported:
                 union7 = None
+    if colored8 is not None:
+        # the colored tables serve BOTH sweep (sor_sweep_tpu8) and matvec
+        # (spmv_tpu8); keeping the v2 + v6 tables alongside them tripled
+        # the fine level's HBM footprint (4.9 GB each at the 1M-point 3D
+        # flagship -> OOM on the 16 GB chip)
+        kell = kell6 = None
     bk = prepare_kernel_ell2(op.bound.ell, class_size=op.class_size, dtype=dtype)
     ck = prepare_kernel_ell2(op.cond.ell, class_size=op.class_size, dtype=dtype)
     diag = np.asarray(op.A.diag)
     f = lambda v: jnp.asarray(np.asarray(v), dtype)
+    r3 = (lambda v: None) if kell is None else (
+        lambda v: _rows3(kell, v))
     return TpuLevel(
         kell=kell,
         kell6=kell6,
@@ -243,10 +256,10 @@ def tpu_level_from_operator(
         cond_kell=ck,
         cond_rows=jnp.asarray(np.asarray(op.cond.rows)),
         diag=f(diag),
-        dinv3=_rows3(kell, 1.0 / diag),
-        mask3=_rows3(kell, np.asarray(op.smooth_mask)),
-        omega3=_rows3(kell, op.omega * np.asarray(op.omega_scale)),
-        lagc3=_rows3(kell, np.asarray(op.lag_col)),
+        dinv3=r3(1.0 / diag),
+        mask3=r3(np.asarray(op.smooth_mask)),
+        omega3=r3(op.omega * np.asarray(op.omega_scale)),
+        lagc3=r3(np.asarray(op.lag_col)),
         lag_col=f(op.lag_col),
         lag_row=f(op.lag_row),
         smooth_mask=f(op.smooth_mask),
@@ -263,6 +276,8 @@ def tpu_level_from_operator(
         n=op.n,
         bound_n=op.bound.nrows,
         cond_n=op.cond.nrows,
+        nnz=nnz,
+        n_pad_=n_pad_,
     )
 
 
@@ -300,6 +315,8 @@ def tpu_hierarchy(
 def matvec(op: TpuLevel, x, x_lag):
     if op.kell6 is not None:
         y = spmv_tpu6(op.kell6, x)
+    elif op.colored8 is not None:
+        y = spmv_tpu8(op.colored8, x)
     else:
         y = spmv_tpu2(op.kell, x)
     if op.has_lagrange:
@@ -324,19 +341,16 @@ def bound_eval_neumann(op: TpuLevel, x, b):
 def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     iters = op.iters if iters is None else iters
     w = op.omega
-    kell = op.kell
-    rows2d = kell.nrows_pad // LANES
+    rows2d = op.n_pad // LANES
     x2 = x.reshape(rows2d, LANES)
     x_lag = jnp.asarray(x_lag, x.dtype)  # stable scan-carry dtype
-    if op.kell6 is not None:
+    if op.colored8 is not None:
+        b8 = permute_b8(op.colored8, b.reshape(rows2d, LANES))
+        sweep = lambda x2, x_lag: sor_sweep_tpu8(op.colored8, x2, x_lag, b8)
+    elif op.kell6 is not None:
         r2 = lambda v: v.reshape(rows2d, LANES)
         b2, lagc2 = r2(b), r2(op.lagc3)
-        if op.colored8 is not None:
-            b8 = permute_b8(op.colored8, b2)  # once per smooth, not per sweep
-            sweep = lambda x2, x_lag: sor_sweep_tpu8(
-                op.colored8, x2, x_lag, b8
-            )
-        elif op.union7 is not None:
+        if op.union7 is not None:
             sweep = lambda x2, x_lag: sor_sweep_tpu7(
                 op.kell6, op.union7, op.kinvT_sg, x2, x_lag, b2, lagc2
             )
@@ -347,7 +361,7 @@ def smooth(op: TpuLevel, x, x_lag, b, b_lag, iters=None):
     else:
         b3 = b.reshape(op.dinv3.shape)
         sweep = lambda x2, x_lag: sor_sweep_tpu2(
-            kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
+            op.kell, x2, x_lag, op.dinv3, b3, op.mask3, op.omega3, op.lagc3
         )
     # scan (not a Python loop): the sweep body is traced/lowered ONCE per
     # smooth call instead of `iters` times — measured 318s of lowering on

@@ -354,6 +354,71 @@ def _sweep8_kernel(pid8_ref, blkid_ref, xlag_ref, vals_ref, lcols_ref,
         x_out_ref[pl.ds(bs, 1), :] = scratch[j:j + 1, :] + dx
 
 
+def _spmv8_kernel(pid8_ref, blkid_ref, vals_ref, lcols_ref, perm_ref,
+                  lanesel_ref, groupsel_ref, x_ref, out_ref, scratch, *,
+                  t, w, g8, mb):
+    i = pl.program_id(0)
+    for k in range(g8):
+        scratch[k, :] = x_ref[pid8_ref[0, 0, k], :]
+    for j in range(mb):
+        prod = _gather_rows_banks(
+            scratch[...],
+            lcols_ref[j * t:(j + 1) * t, :].astype(jnp.int32),
+            vals_ref[j * t:(j + 1) * t, :],
+            t, g8 // 8,
+        )
+        y_grp = _vpu_reduce(prod, w, lanesel_ref[...], groupsel_ref[...])
+        y = _lane_gather(y_grp, perm_ref[pl.ds(j, 1), :])
+        bs = blkid_ref[0, 0, j]
+        out_ref[pl.ds(bs, 1), :] = y
+
+
+def spmv_tpu8(c8: ColoredSweep, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x over the colored program-order tables ([nrows_pad] out).
+
+    Shares the sweep's tables so a level whose production sweep is
+    v8-colored needs NO separate v6 matvec table — at the 1M-point 3D
+    flagship that duplication (4.9 GB windowed table kept only for the
+    SpMV) OOM'd the 16 GB HBM.  Programs execute in colored order but a
+    pure matvec is order-independent; duplicate padding blocks write the
+    same value twice.
+    """
+    dtype = c8.vals8.dtype
+    t, mb, g8 = c8.tiles, c8.mb, c8.g8max
+    nb = c8.nrows_pad // LANES
+    x2 = x[: c8.nrows_pad].reshape(nb, LANES).astype(dtype)
+    lanesel = jnp.asarray(_lanesel())
+    groupsel = jnp.asarray(_groupsel())
+    z2 = lambda i, *_: (np.int32(0),) * 2
+    prog_row = lambda i, *_: (i, np.int32(0))
+    prog_row3 = lambda i, *_: (i, np.int32(0), np.int32(0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(c8.nprog,),
+        in_specs=[
+            pl.BlockSpec((1, 1, g8), prog_row3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), prog_row3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((mb * t, LANES), prog_row),
+            pl.BlockSpec((mb * t, LANES), prog_row),
+            pl.BlockSpec((8, LANES), prog_row),
+            pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), z2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(x2.shape, z2, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g8, LANES), dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmv8_kernel, t=t, w=c8.windows, g8=g8, mb=mb),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dtype),
+        grid_spec=grid_spec,
+    )(
+        c8.pids8.reshape(c8.nprog, 1, g8), c8.blkid.reshape(c8.nprog, 1, 8),
+        c8.vals8, c8.lcols8, c8.perm8, lanesel, groupsel, x2,
+    )
+    return out.reshape(-1)
+
+
 def permute_b8(c8: ColoredSweep, b2: jnp.ndarray) -> jnp.ndarray:
     """Gather the RHS rows into colored program order (cheap: one take of
     [nb,128] per smooth call; all static tables are pre-permuted)."""

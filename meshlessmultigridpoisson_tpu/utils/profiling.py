@@ -60,8 +60,11 @@ def chain_time(op, x0, *sa, k: int = 16, reps: int = 5) -> float:
 
 
 def _level_nnz(op) -> int:
+    nnz = getattr(op, "nnz", 0)
+    if nnz:  # TpuLevel records its true count at prep time
+        return int(nnz)
     kell = getattr(op, "kell", None)
-    if kell is not None:  # TpuLevel: count from the f32 kernel table
+    if kell is not None:  # older TpuLevel: count from the f32 kernel table
         return int(np.count_nonzero(np.asarray(kell.vals_flat)))
     try:
         return int(np.count_nonzero(np.asarray(op.A.vals)))
@@ -78,18 +81,19 @@ def _streamed_bytes(op, sweep: bool) -> int:
     """
     n_pad = getattr(op, "n_pad", None) or getattr(op, "n", 0)
     vec = 4 * n_pad * (3 if sweep else 2)
+    c8 = getattr(op, "colored8", None)
+    if c8 is not None:  # colored tables serve both sweep and matvec
+        b = vec + int(
+            c8.vals8.size * c8.vals8.dtype.itemsize
+            + c8.lcols8.size * c8.lcols8.dtype.itemsize)
+        if sweep:
+            b += int(c8.kinvT8.size * c8.kinvT8.dtype.itemsize)
+        return b
     kell6 = getattr(op, "kell6", None)
     if kell6 is not None:
         b = kell6.table_bytes + vec
-        if sweep:
-            c8 = getattr(op, "colored8", None)
-            if c8 is not None:  # colored tables replace the v6 sweep stream
-                b = vec + int(
-                    c8.vals8.size * c8.vals8.dtype.itemsize
-                    + c8.lcols8.size * c8.lcols8.dtype.itemsize
-                    + c8.kinvT8.size * c8.kinvT8.dtype.itemsize)
-            elif getattr(op, "kinvT_sg", None) is not None:
-                b += 512 * n_pad
+        if sweep and getattr(op, "kinvT_sg", None) is not None:
+            b += 512 * n_pad
         return b
     kell = getattr(op, "kell", None)
     if kell is not None:
@@ -150,10 +154,9 @@ def profile_hierarchy(hier, reps: int = 5, k: int = 16) -> list[dict[str, Any]]:
 
 
 def _is_f32_level(op) -> bool:
-    try:
-        return op.kell is not None
-    except AttributeError:
-        return False
+    return any(
+        getattr(op, f, None) is not None
+        for f in ("kell", "kell6", "colored8"))
 
 
 def attach_throughput(rec, hier, sweeps_per_cycle: int | None = None) -> None:

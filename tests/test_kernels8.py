@@ -166,6 +166,22 @@ def test_sweep8_fixed_point(pattern, kell):
     np.testing.assert_allclose(out, np.asarray(x2), rtol=0, atol=5e-4)
 
 
+def test_spmv8_interpret_matches_reference(pattern, kell, colored):
+    """The colored-order SpMV (round 5: shares the sweep tables so v8
+    levels carry no separate v6 matvec table) is a pure matvec."""
+    from meshlessmultigridpoisson_tpu.ops.ell import spmv
+
+    c8, _, _ = colored
+    ell = ell_from_csr(pattern, block_rows=128)
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(ell.nrows_pad)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(K8.spmv_tpu8(c8, jnp.asarray(x, jnp.float32)))
+    yref = np.asarray(spmv(ell.astype(jnp.float64), jnp.asarray(x)))
+    scale = np.abs(yref).max()
+    np.testing.assert_allclose(y[:yref.size], yref, rtol=0, atol=3e-4 * scale)
+
+
 def test_sweep8_wide_tier_matches_colored_oracle(pattern, kell):
     """Tier-2 (wide-scratch) selection: when no mb fits ``max_slots``, the
     prep picks the least-gather-work mb under ``max_slots_wide`` instead
