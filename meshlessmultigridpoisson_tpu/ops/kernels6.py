@@ -162,7 +162,7 @@ def prepare_kernel_ell6(
     ell: EllMatrix,
     max_segments: int = 1,
     dtype=jnp.float32,
-    max_patches: int = 192,
+    max_patches: int = 256,
 ) -> KernelEll6:
     """Host-side repack into the segment-ragged window layout.
 
@@ -180,6 +180,8 @@ def prepare_kernel_ell6(
     """
     if ell.block_rows % LANES != 0:
         raise Ell4Unsupported("v6 needs 128-row-aligned blocks")
+    # the i16 column packing (patch_slot << 7 | lane) tops out at slot 255
+    assert max_patches <= 256, "i16 slot packing caps gmax at 256"
     n_pad = ell.nrows_pad
     nb = n_pad // LANES
     gc = np.asarray(global_cols(ell)).astype(np.int64)
